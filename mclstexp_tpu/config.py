@@ -1,0 +1,157 @@
+"""Configuration dataclasses and dataset presets.
+
+Replaces the reference's per-script argparse blocks (reference
+``train.py:11-27``) and hard-coded Windows data paths
+(``dataset.py:22,148-153``, ``train.py:64-74``) with one typed config
+tree plus named presets for the three benchmark datasets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Flagship contrastive model hyper-parameters.
+
+    Defaults mirror the reference protocol (reference ``train.py:13-26``):
+    DenseNet121 image tower (1024-d features), 785-d spot features (HER2ST
+    HVG panel), 256-d projections, 2 attention blocks of 8 heads x 64.
+    """
+
+    encoder_name: str = "densenet121"
+    image_dim: int = 1024  # feature dim emitted by the image tower
+    spot_dim: int = 785  # number of HVGs == spot feature dim
+    projection_dim: int = 256
+    heads_num: int = 8
+    heads_dim: int = 64
+    head_layers: int = 2
+    dropout: float = 0.0
+    temperature: float = 1.0
+    pos_vocab: int = 65536  # learnable (x, y) table size (reference model.py:204)
+    variant: str = "attention"  # "attention" | "mlp" (ablation, model.py:171)
+    # Compute dtype for the towers. Params are always fp32; bf16 activations
+    # keep matmuls on the MXU fast path. Loss math is always fp32.
+    dtype: str = "float32"
+    pretrained_path: Optional[str] = None  # torch state_dict (.pt) to import
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 128  # global batch; sharded over the data mesh axis
+    max_epochs: int = 90
+    lr: float = 1e-4
+    weight_decay: float = 1e-3  # torch-Adam style L2 (coupled), train.py:118-120
+    seed: int = 0
+    log_every: int = 50
+    checkpoint_every_epochs: int = 10  # reference saves only at the end; we
+    # checkpoint periodically so a crash never loses a fold (SURVEY §5).
+    checkpoint_dir: str = "model_result"
+    donate: bool = True
+    mesh_shape: Optional[Tuple[int, ...]] = None  # None -> 1D data mesh over all devices
+    mesh_axes: Tuple[str, ...] = ("data",)
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    batch_size: int = 32  # reference eval batching (evel_her2st.py:24); the
+    # spot tower sees each batch as one sequence, so this is load-bearing.
+    top_k: int = 200
+    weight_ord: int = 1  # distance order for 1/d^2 weights: 1 (her2st) or 2
+    embedding_dir: str = "embedding_result"
+    prediction_dir: str = "prediction_result"
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "her2st"  # her2st | cscc | visium | synthetic
+    data_root: str = ""  # root of raw dataset files
+    gene_panel: str = ""  # path to the HVG panel (.npy of gene names)
+    preprocessed_root: str = "data/preprocessed_expression_matrices"
+    patch_size: int = 224
+    num_folds: int = 32
+    # Patch cache: pre-cut uint8 patches stored once per section as .npy
+    # (replaces the reference's per-epoch PIL crops, dataset.py:224).
+    patch_cache_dir: str = "patch_cache"
+    eval_time_augment: bool = False  # TenxDataset quirk: the reference
+    # applies random flips/rotations even at inference (dataset.py:316-325);
+    # set True for strict parity on Visium.
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+# Feature dims of the supported image towers (reference model.py:72-148;
+# dims from train.py:18 and the torchvision/timm architectures).
+ENCODER_DIMS = {
+    "densenet121": 1024,
+    "resnet50": 2048,
+    "res101": 2048,
+    "res18": 512,
+    "vit": 768,  # vit_base_patch32_224, global-average-pooled tokens
+    "tiny_cnn": 128,  # test-sized tower (ours; no reference equivalent)
+}
+
+
+def _preset(
+    dataset: str,
+    spot_dim: int,
+    num_folds: int,
+    top_k: int,
+    weight_ord: int,
+    eval_time_augment: bool = False,
+) -> Config:
+    return Config(
+        model=ModelConfig(spot_dim=spot_dim),
+        train=TrainConfig(),
+        eval=EvalConfig(top_k=top_k, weight_ord=weight_ord),
+        data=DataConfig(
+            dataset=dataset,
+            num_folds=num_folds,
+            eval_time_augment=eval_time_augment,
+        ),
+    )
+
+
+# Protocol constants per dataset (BASELINE.md):
+#   HER2ST: 785 HVGs, 32 LOO folds, K=200, L1 distance weights
+#   cSCC:   171 HVGs, 12 folds, K=600, L2
+#   Visium: 685 HVGs,  9 folds, K=200, L2, eval-time augmentation quirk
+PRESETS = {
+    "her2st": _preset("her2st", 785, 32, 200, 1),
+    "cscc": _preset("cscc", 171, 12, 600, 2),
+    "visium": _preset("visium", 685, 9, 200, 2, eval_time_augment=True),
+    "synthetic": Config(
+        model=ModelConfig(
+            encoder_name="tiny_cnn", image_dim=128, spot_dim=64, projection_dim=32
+        ),
+        train=TrainConfig(batch_size=32, max_epochs=2),
+        eval=EvalConfig(batch_size=16, top_k=8, weight_ord=1),
+        data=DataConfig(dataset="synthetic", num_folds=2),
+    ),
+}
+
+
+def get_config(name: str) -> Config:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    return PRESETS[name]
+
+
+def reference_data_root() -> Optional[str]:
+    """Root of the reference checkout, when mounted (for shipped gene panels)."""
+    for cand in (os.environ.get("MCLSTEXP_REFERENCE_DATA"), "/root/reference/data"):
+        if cand and os.path.isdir(cand):
+            return cand
+    return None

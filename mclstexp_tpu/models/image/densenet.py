@@ -1,0 +1,144 @@
+"""DenseNet-121 image tower in flax (NHWC).
+
+The reference's default image encoder (reference ``model.py:72-85``):
+torchvision ``densenet121`` with the classifier stripped — i.e. the
+``features`` trunk ending at ``norm5`` — followed by adaptive average
+pooling. Note there is **no ReLU after norm5** in that path (torchvision's
+own ``forward`` adds one, but the reference's ``Sequential(children[:-1])``
+bypasses it); we reproduce that exactly. Output dim: 1024.
+
+Architecture (densenet121): init features 64, growth 32, bn_size 4, blocks
+(6, 12, 24, 16); each dense layer is BN-ReLU-Conv1x1(4k)-BN-ReLU-Conv3x3(k)
+with feature concatenation; transitions halve channels and avg-pool /2.
+
+Dense connectivity is implemented by accumulating features in one NHWC
+buffer per block — XLA turns the concats into contiguous HBM writes, and
+each 1x1 conv is a single MXU matmul over H*W rows.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mclstexp_tpu.models.image.common import (
+    ConvBN,
+    conv_kaiming_init,
+    global_avg_pool,
+    max_pool_3x3_s2,
+)
+
+Dtype = Any
+
+
+class DenseLayer(nn.Module):
+    growth_rate: int
+    bn_size: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        h = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="norm1",
+        )(x)
+        h = nn.relu(h)
+        h = nn.Conv(
+            self.bn_size * self.growth_rate, (1, 1), use_bias=False,
+            kernel_init=conv_kaiming_init, dtype=self.dtype, name="conv1",
+        )(h)
+        h = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="norm2",
+        )(h)
+        h = nn.relu(h)
+        h = nn.Conv(
+            self.growth_rate, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+            kernel_init=conv_kaiming_init, dtype=self.dtype, name="conv2",
+        )(h)
+        return h
+
+
+class DenseBlock(nn.Module):
+    num_layers: int
+    growth_rate: int
+    bn_size: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        for i in range(self.num_layers):
+            new = DenseLayer(
+                self.growth_rate, self.bn_size, self.dtype, name=f"denselayer{i + 1}"
+            )(x, train)
+            x = jnp.concatenate([x, new], axis=-1)
+        return x
+
+
+class Transition(nn.Module):
+    out_features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="norm",
+        )(x)
+        x = nn.relu(x)
+        x = nn.Conv(
+            self.out_features, (1, 1), use_bias=False,
+            kernel_init=conv_kaiming_init, dtype=self.dtype, name="conv",
+        )(x)
+        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+class DenseNetEncoder(nn.Module):
+    """DenseNet feature tower -> (B, num_features) pooled vector."""
+
+    block_config: Sequence[int] = (6, 12, 24, 16)  # densenet121
+    growth_rate: int = 32
+    bn_size: int = 4
+    init_features: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            self.init_features, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+            use_bias=False, kernel_init=conv_kaiming_init, dtype=self.dtype,
+            name="conv0",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="norm0",
+        )(x)
+        x = nn.relu(x)
+        x = max_pool_3x3_s2(x)
+
+        features = self.init_features
+        for i, num_layers in enumerate(self.block_config):
+            x = DenseBlock(
+                num_layers, self.growth_rate, self.bn_size, self.dtype,
+                name=f"denseblock{i + 1}",
+            )(x, train)
+            features += num_layers * self.growth_rate
+            if i != len(self.block_config) - 1:
+                features = features // 2
+                x = Transition(features, self.dtype, name=f"transition{i + 1}")(x, train)
+
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="norm5",
+        )(x)
+        # NOTE: no ReLU here — reference model.py:76 strips torchvision's
+        # classifier-path ReLU. Pool straight off norm5.
+        return global_avg_pool(x).astype(jnp.float32)
+
+
+def densenet121(dtype=jnp.float32) -> DenseNetEncoder:
+    return DenseNetEncoder(dtype=dtype)

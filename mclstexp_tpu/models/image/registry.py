@@ -1,0 +1,32 @@
+"""Image-tower registry: encoder_name -> (flax module, feature dim).
+
+Mirrors the reference's string-dispatched encoder selection
+(reference ``model.py:206-215``) with the same names, plus a test tower.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mclstexp_tpu.models.image.densenet import densenet121
+from mclstexp_tpu.models.image.resnet import resnet18, resnet50, resnet101
+from mclstexp_tpu.models.image.vit import TinyCNN, vit_b32
+
+ENCODERS = {
+    "densenet121": (densenet121, 1024),
+    "resnet50": (resnet50, 2048),
+    "res101": (resnet101, 2048),
+    "res18": (resnet18, 512),
+    "vit": (vit_b32, 768),
+    "tiny_cnn": (lambda dtype=jnp.float32: TinyCNN(dtype=dtype), 128),
+}
+
+
+def build_encoder(name: str, dtype=jnp.float32) -> Tuple[nn.Module, int]:
+    if name not in ENCODERS:
+        raise KeyError(f"unknown image encoder {name!r}; have {sorted(ENCODERS)}")
+    factory, dim = ENCODERS[name]
+    return factory(dtype=dtype), dim

@@ -1,0 +1,3 @@
+from mclstexp_tpu.ops import retrieval as retrieval
+from mclstexp_tpu.ops import augment as augment
+from mclstexp_tpu.ops import patches as patches

@@ -1,0 +1,106 @@
+"""Top-K cosine retrieval + inverse-square-distance aggregation, fused in XLA.
+
+The reference's inference core is two pieces of host NumPy/Torch code:
+  * ``find_matches`` — L2-normalize keys and queries, dot product, topk
+    (reference ``evel_her2st.py:74-84``);
+  * a Python loop over query spots computing 1/d^2 weights over the K
+    retrieved *unnormalized* key embeddings and weighted-averaging their
+    expression profiles (``evel_her2st.py:177-187`` — the slow part).
+
+Here both fuse into one jitted call: the (Nq x Nk) score matmul rides the
+MXU, `jax.lax.top_k` runs on-device, and the aggregation is two einsums over
+gathered (Nq, K, ·) tiles. Queries are processed in chunks so the gathered
+expression tile (chunk x K x G) stays well inside HBM at any key-set size.
+
+Distance conventions (BASELINE.md): weights ∝ 1/d^2 with d = L1 distance for
+HER2ST (``evel_her2st.py:178``), L2 for cSCC/Visium (``evel_cscc.py:209``,
+``evel_visium.py:197``), computed on unnormalized embeddings.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    # torch F.normalize semantics: x / max(||x||, eps)
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(norm, eps)
+
+
+@functools.partial(jax.jit, static_argnames=("top_k",))
+def find_matches(
+    key_emb: jax.Array, query_emb: jax.Array, top_k: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Cosine top-K: returns (values, indices), each (Nq, top_k).
+
+    key_emb: (Nk, D) reference spot embeddings; query_emb: (Nq, D) image
+    embeddings. Both are L2-normalized internally (the caller's arrays are
+    untouched, matching ``evel_her2st.py:74-84``).
+    """
+    k = l2_normalize(key_emb.astype(jnp.float32))
+    q = l2_normalize(query_emb.astype(jnp.float32))
+    scores = q @ k.T  # (Nq, Nk) — MXU matmul
+    return jax.lax.top_k(scores, top_k)
+
+
+@functools.partial(jax.jit, static_argnames=("weight_ord",))
+def _aggregate_chunk(
+    key_emb: jax.Array,  # (Nk, D) unnormalized
+    key_expr: jax.Array,  # (Nk, G)
+    query_chunk: jax.Array,  # (C, D) unnormalized
+    indices: jax.Array,  # (C, K)
+    weight_ord: int,
+) -> Tuple[jax.Array, jax.Array]:
+    sel_emb = jnp.take(key_emb, indices, axis=0)  # (C, K, D)
+    diff = sel_emb - query_chunk[:, None, :]
+    if weight_ord == 1:
+        d = jnp.sum(jnp.abs(diff), axis=-1)
+    else:
+        d = jnp.sqrt(jnp.sum(jnp.square(diff), axis=-1))
+    w = 1.0 / jnp.square(d)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)  # (C, K)
+    pred_emb = jnp.einsum("ck,ckd->cd", w, sel_emb, preferred_element_type=jnp.float32)
+    sel_expr = jnp.take(key_expr, indices, axis=0)  # (C, K, G)
+    pred_expr = jnp.einsum(
+        "ck,ckg->cg", w, sel_expr, preferred_element_type=jnp.float32
+    )
+    return pred_emb, pred_expr
+
+
+def retrieve_and_aggregate(
+    key_emb: np.ndarray,
+    key_expr: np.ndarray,
+    query_emb: np.ndarray,
+    top_k: int,
+    weight_ord: int = 1,
+    chunk_size: int = 1024,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Full retrieval inference: (pred_embeddings, pred_expression).
+
+    key_emb (Nk, D), key_expr (Nk, G), query_emb (Nq, D) -> (Nq, D), (Nq, G).
+    Replaces the reference's find_matches + per-spot Python aggregation loop
+    (``evel_her2st.py:174-187``) with device-resident fused compute.
+    """
+    key_emb_j = jnp.asarray(key_emb, dtype=jnp.float32)
+    key_expr_j = jnp.asarray(key_expr, dtype=jnp.float32)
+    query_j = jnp.asarray(query_emb, dtype=jnp.float32)
+    nq = query_j.shape[0]
+
+    _, indices = find_matches(key_emb_j, query_j, top_k)
+
+    pred_embs, pred_exprs = [], []
+    for start in range(0, nq, chunk_size):
+        stop = min(start + chunk_size, nq)
+        # Pad the tail chunk to a static shape so jit compiles once per size.
+        chunk_q = query_j[start:stop]
+        chunk_i = indices[start:stop]
+        pe, px = _aggregate_chunk(key_emb_j, key_expr_j, chunk_q, chunk_i, weight_ord)
+        pred_embs.append(np.asarray(pe))
+        pred_exprs.append(np.asarray(px))
+    return np.concatenate(pred_embs, axis=0), np.concatenate(pred_exprs, axis=0)
