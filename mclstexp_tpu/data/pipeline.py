@@ -1,0 +1,110 @@
+"""Batching pipelines: host-side index shuffling, device-side everything else.
+
+The reference's input path is the torch DataLoader re-cropping and
+re-augmenting PIL images per item per epoch on the CPU (reference
+``dataset.py:208-233``, ``train.py:49``). Here the host only shuffles
+indices and slices pre-cut uint8 patch arrays; normalization and
+augmentation run on the TPU inside the train step (ops.augment). This is
+where most of the throughput win over the reference comes from.
+
+Batch semantics preserved for parity:
+  * training: global shuffle over the concatenation of the training
+    sections, batch 128, final partial batch kept (torch DataLoader
+    drop_last=False) — compiled as a second fixed shape;
+  * eval: *sequential* batches of 32 over the concatenated sections —
+    section boundaries fall mid-batch exactly as in the reference's
+    ConcatDataset (evel_her2st.py:15-27), which matters because the spot
+    tower treats each batch as one sequence.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from mclstexp_tpu.data.section import Section
+
+Batch = Dict[str, np.ndarray]
+
+
+@dataclasses.dataclass
+class ConcatSections:
+    """Concatenated per-field views over a list of sections."""
+
+    patches: np.ndarray  # (N, P, P, 3) uint8
+    expression: np.ndarray  # (N, G) float32
+    positions: np.ndarray  # (N, 2) int32
+    centers: np.ndarray  # (N, 2) int32
+    section_sizes: List[int]
+    section_names: List[str]
+
+    @classmethod
+    def from_sections(cls, sections: Sequence[Section]) -> "ConcatSections":
+        assert all(s.patches is not None for s in sections), "sections need patches"
+        return cls(
+            patches=np.concatenate([np.asarray(s.patches) for s in sections], axis=0),
+            expression=np.concatenate([s.expression for s in sections], axis=0),
+            positions=np.concatenate([s.positions for s in sections], axis=0),
+            centers=np.concatenate([s.centers for s in sections], axis=0),
+            section_sizes=[s.num_spots for s in sections],
+            section_names=[s.name for s in sections],
+        )
+
+    def __len__(self) -> int:
+        return len(self.expression)
+
+    def take(self, idx: np.ndarray) -> Batch:
+        return {
+            "image_u8": self.patches[idx],
+            "expression": self.expression[idx],
+            "position": self.positions[idx],
+        }
+
+
+def train_batches(
+    data: ConcatSections,
+    batch_size: int,
+    seed: int,
+    epoch: int,
+    keep_remainder: bool = True,
+) -> Iterator[Batch]:
+    """One epoch of shuffled batches (uint8 patches; augmentation is on-device)."""
+    n = len(data)
+    rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+    order = rng.permutation(n)
+    full = n - (n % batch_size)
+    for start in range(0, full, batch_size):
+        yield data.take(order[start : start + batch_size])
+    if keep_remainder and full < n:
+        yield data.take(order[full:])
+
+
+def eval_batches(data: ConcatSections, batch_size: int) -> Iterator[Batch]:
+    """Sequential batches over the concatenation (no shuffle, remainder kept)."""
+    n = len(data)
+    for start in range(0, n, batch_size):
+        idx = np.arange(start, min(start + batch_size, n))
+        yield data.take(idx)
+
+
+def num_train_steps(n: int, batch_size: int, keep_remainder: bool = True) -> int:
+    full = n // batch_size
+    return full + (1 if keep_remainder and n % batch_size else 0)
+
+
+def split_fold(
+    sections: Sequence[Section], fold: int
+) -> tuple[List[Section], Section]:
+    """Leave-one-section-out: (train sections, held-out section).
+
+    Matches the reference's fold convention (``dataset.py:161-167``): the
+    held-out section is ``sections[fold]``; training uses the rest. (The
+    reference materializes the train set via ``set`` subtraction, which
+    scrambles section *order* within an epoch, but batches are globally
+    shuffled anyway; we keep list order deterministic.)
+    """
+    test = sections[fold]
+    train = [s for i, s in enumerate(sections) if i != fold]
+    return train, test

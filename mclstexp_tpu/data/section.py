@@ -1,0 +1,38 @@
+"""The uniform section record every dataset reader produces.
+
+The reference keeps per-section state in parallel dicts inside each torch
+Dataset (``dataset.py:48-61,183-199``: img_dict / exp_dict / center_dict /
+loc_dict / label). Here a section is one immutable record; readers produce
+``list[Section]`` and the training/eval pipelines are dataset-agnostic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Section:
+    name: str
+    expression: np.ndarray  # (N, G) float32 log-CPM over the HVG panel
+    positions: np.ndarray  # (N, 2) int32 — what the (x, y) tables index
+    centers: np.ndarray  # (N, 2) int32 pixel (x, y) patch centers
+    patches: Optional[np.ndarray] = None  # (N, P, P, 3) uint8, pre-cut
+    labels: Optional[np.ndarray] = None  # pathologist annotations (strings)
+
+    def __post_init__(self):
+        n = len(self.expression)
+        assert len(self.positions) == n and len(self.centers) == n, (
+            f"section {self.name}: inconsistent lengths"
+        )
+
+    @property
+    def num_spots(self) -> int:
+        return len(self.expression)
+
+    @property
+    def num_genes(self) -> int:
+        return self.expression.shape[1]

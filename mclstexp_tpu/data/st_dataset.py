@@ -1,0 +1,212 @@
+"""Legacy ST-format dataset readers: HER2ST and cSCC (GSE144240).
+
+Reproduces the reference ingestion semantics (reference ``dataset.py``):
+  * counts TSV (spots x genes) with index '{x}x{y}' (HER2ST: ``get_cnt``,
+    dataset.py:268-272);
+  * spot-selection TSV with array coords (x, y) and pixel coords
+    (pixel_x, pixel_y); spot id rebuilt from rounded x/y (dataset.py:253-266);
+  * meta = counts joined with positions — left join for HER2ST
+    (dataset.py:249), inner join for cSCC (dataset.py:134);
+  * expression = log-CPM over the HVG panel subset (dataset.py:188);
+  * patch centers = floor(pixel_x, pixel_y) (dataset.py:192);
+  * positions fed to the (x, y) tables = raw array coords (dataset.py:195);
+  * HER2ST sections = sorted(ST-cnts)[1:33] (32 sections, dataset.py:155-161);
+    cSCC sections = {P2, P5, P9, P10} x {rep1..3} (dataset.py:25-31);
+  * pathologist labels for the 9 annotated HER2ST sections
+    (dataset.py:171-180).
+
+Patches are cut once into a per-section uint8 cache (ops.patches) instead of
+PIL-cropping per item per epoch.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from mclstexp_tpu.data.normalize import logcpm_panel
+from mclstexp_tpu.data.section import Section
+from mclstexp_tpu.ops.patches import extract_patches_np
+
+HER2ST_LABELED_SECTIONS = ("A1", "B1", "C1", "D1", "E1", "F1", "G2", "H1", "J1")
+LABEL_TO_ID = {
+    "invasive cancer": 0,
+    "breast glands": 1,
+    "immune infiltrate": 2,
+    "cancer in situ": 3,
+    "connective tissue": 4,
+    "adipose tissue": 5,
+    "undetermined": -1,
+}
+CSCC_PATIENTS = ("P2", "P5", "P9", "P10")
+CSCC_REPS = ("rep1", "rep2", "rep3")
+
+
+def _read_tsv(path: str, index_col=None):
+    import pandas as pd
+
+    return pd.read_csv(path, sep="\t", index_col=index_col)
+
+
+def _pos_with_id(path: str):
+    """Spot-selection table with the '{x}x{y}' id column rebuilt."""
+    df = _read_tsv(path)
+    x = np.around(df["x"].values).astype(int)
+    y = np.around(df["y"].values).astype(int)
+    df["id"] = [f"{a}x{b}" for a, b in zip(x, y)]
+    return df
+
+
+def _load_slide(path: str) -> np.ndarray:
+    from PIL import Image, ImageFile
+
+    ImageFile.LOAD_TRUNCATED_IMAGES = True
+    Image.MAX_IMAGE_PIXELS = None
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"))
+
+
+def _section_from_meta(
+    name: str,
+    meta,
+    gene_panel: Sequence[str],
+    slide_path: Optional[str],
+    patch_size: int,
+    cache_dir: Optional[str],
+    labels: Optional[np.ndarray] = None,
+) -> Section:
+    counts = meta[list(gene_panel)].values
+    expression = logcpm_panel(counts)
+    centers = np.floor(meta[["pixel_x", "pixel_y"]].values).astype(np.int32)
+    positions = meta[["x", "y"]].values.astype(np.int32)
+
+    patches = None
+    if cache_dir is not None:
+        cache_path = os.path.join(cache_dir, f"{name}.npy")
+        if os.path.exists(cache_path):
+            patches = np.load(cache_path, mmap_mode="r")
+        elif slide_path is not None:
+            os.makedirs(cache_dir, exist_ok=True)
+            slide = _load_slide(slide_path)
+            patches = extract_patches_np(slide, centers, patch_size)
+            np.save(cache_path, patches)
+    elif slide_path is not None:
+        slide = _load_slide(slide_path)
+        patches = extract_patches_np(slide, centers, patch_size)
+
+    return Section(
+        name=name,
+        expression=expression,
+        positions=positions,
+        centers=centers,
+        patches=patches,
+        labels=labels,
+    )
+
+
+# ---------------------------------------------------------------- HER2ST --
+
+
+def her2st_section_names(root: str) -> List[str]:
+    names = sorted(os.listdir(os.path.join(root, "ST-cnts")))
+    names = [n.split(".")[0][:2] for n in names]
+    # the reference protocol uses sections [1:33] of the sorted listing
+    return names[1:33] if len(names) > 33 else names
+
+
+def her2st_slide_path(root: str, name: str) -> str:
+    pre = os.path.join(root, "ST-imgs", name[0], name)
+    return os.path.join(pre, os.listdir(pre)[0])
+
+
+def her2st_labels(root: str, name: str, meta_index) -> Optional[np.ndarray]:
+    if name not in HER2ST_LABELED_SECTIONS:
+        return None
+    path = os.path.join(root, "ST-pat", "lbl", f"{name}_labeled_coordinates.tsv")
+    if not os.path.exists(path):
+        return None
+    df = _pos_with_id(path)
+    df = df.drop(columns=[c for c in ("pixel_x", "pixel_y", "x", "y") if c in df])
+    df = df.set_index("id")
+    return df.loc[meta_index, :]["label"].values
+
+
+def load_her2st_section(
+    root: str,
+    name: str,
+    gene_panel: Sequence[str],
+    patch_size: int = 224,
+    cache_dir: Optional[str] = None,
+    with_labels: bool = False,
+    with_patches: bool = True,
+) -> Section:
+    cnt = _read_tsv(os.path.join(root, "ST-cnts", f"{name}.tsv"), index_col=0)
+    pos = _pos_with_id(os.path.join(root, "ST-spotfiles", f"{name}_selection.tsv"))
+    meta = cnt.join(pos.set_index("id"))  # left join, dataset.py:249
+    labels = her2st_labels(root, name, meta.index) if with_labels else None
+    slide = her2st_slide_path(root, name) if with_patches else None
+    return _section_from_meta(
+        name, meta, gene_panel, slide, patch_size, cache_dir, labels
+    )
+
+
+def load_her2st(
+    root: str,
+    gene_panel: Sequence[str],
+    names: Optional[Sequence[str]] = None,
+    patch_size: int = 224,
+    cache_dir: Optional[str] = None,
+    with_labels: bool = False,
+    with_patches: bool = True,
+) -> List[Section]:
+    if names is None:
+        names = her2st_section_names(root)
+    return [
+        load_her2st_section(
+            root, n, gene_panel, patch_size, cache_dir, with_labels, with_patches
+        )
+        for n in names
+    ]
+
+
+# ------------------------------------------------------------------ cSCC --
+
+
+def cscc_section_names() -> List[str]:
+    return [f"{p}_ST_{r}" for p in CSCC_PATIENTS for r in CSCC_REPS]
+
+
+def load_cscc_section(
+    root: str,
+    name: str,
+    gene_panel: Sequence[str],
+    patch_size: int = 224,
+    cache_dir: Optional[str] = None,
+    with_patches: bool = True,
+) -> Section:
+    cnt_path = glob.glob(os.path.join(root, f"*{name}_stdata.tsv"))[0]
+    pos_path = glob.glob(os.path.join(root, f"*spot*{name}.tsv"))[0]
+    cnt = _read_tsv(cnt_path, index_col=0)
+    pos = _pos_with_id(pos_path)
+    meta = cnt.join(pos.set_index("id"), how="inner")  # dataset.py:134
+    slide = glob.glob(os.path.join(root, f"*{name}.jpg"))[0] if with_patches else None
+    return _section_from_meta(name, meta, gene_panel, slide, patch_size, cache_dir)
+
+
+def load_cscc(
+    root: str,
+    gene_panel: Sequence[str],
+    names: Optional[Sequence[str]] = None,
+    patch_size: int = 224,
+    cache_dir: Optional[str] = None,
+    with_patches: bool = True,
+) -> List[Section]:
+    if names is None:
+        names = cscc_section_names()
+    return [
+        load_cscc_section(root, n, gene_panel, patch_size, cache_dir, with_patches)
+        for n in names
+    ]

@@ -1,0 +1,124 @@
+"""Data-layer tests on synthetic fixtures (no real data needed)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mclstexp_tpu.data import hvg, normalize, pipeline, synthetic
+from mclstexp_tpu.data.st_dataset import her2st_section_names, load_her2st
+
+
+def test_library_size_normalize_rows_sum_to_rescale(rng):
+    counts = rng.poisson(5.0, size=(10, 20)).astype(float)
+    out = normalize.library_size_normalize(counts, rescale=10000.0)
+    np.testing.assert_allclose(out.sum(1), 10000.0, rtol=1e-9)
+
+
+def test_library_size_normalize_zero_rows_safe():
+    counts = np.zeros((3, 5))
+    out = normalize.library_size_normalize(counts)
+    assert np.all(np.isfinite(out)) and np.all(out == 0)
+
+
+def test_library_size_normalize_median_rescale(rng):
+    counts = rng.poisson(5.0, size=(9, 12)).astype(float)
+    out = normalize.library_size_normalize(counts, rescale="median")
+    med = np.median(counts.sum(1))
+    np.testing.assert_allclose(out.sum(1), med, rtol=1e-9)
+
+
+def test_log_transform_base10():
+    x = np.array([[0.0, 9.0, 99.0]])
+    np.testing.assert_allclose(
+        normalize.log_transform(x), np.array([[0.0, 1.0, 2.0]]), atol=1e-6
+    )
+
+
+def test_normalize_total_median_target(rng):
+    counts = rng.poisson(4.0, size=(8, 10)).astype(float)
+    out = normalize.normalize_total(counts)
+    med = np.median(counts.sum(1))
+    np.testing.assert_allclose(out.sum(1), med, rtol=1e-9)
+
+
+def test_hvg_selects_high_dispersion_genes(rng):
+    """Bursty genes (same mean, much higher variance) must be selected over
+    Poisson genes — they share a mean bin, so the z-score separates them."""
+    n, g_poisson, g_bursty = 4000, 90, 10
+    poisson = rng.poisson(5.0, size=(n, g_poisson)).astype(float)
+    bursty = (rng.uniform(size=(n, g_bursty)) < 0.5) * 10.0  # mean 5, var 25
+    log_data = np.log1p(np.concatenate([poisson, bursty], axis=1))
+    mask = hvg.highly_variable_genes(log_data, n_top_genes=g_bursty)
+    assert mask.sum() == g_bursty
+    assert mask[g_poisson:].all()  # exactly the bursty genes
+
+
+def test_hvg_union_intersection():
+    masks = np.array([[1, 1, 0, 0], [1, 0, 1, 0]], dtype=bool)
+    u, i = hvg.hvg_union_intersection(masks)
+    np.testing.assert_array_equal(u, [True, True, True, False])
+    np.testing.assert_array_equal(i, [True, False, False, False])
+
+
+def test_synthetic_sections_are_consistent():
+    sections = synthetic.make_dataset(num_sections=2, num_spots=20, num_genes=8)
+    for s in sections:
+        assert s.num_spots == 20 and s.num_genes == 8
+        assert s.patches.shape == (20, 32, 32, 3)
+        assert s.patches.dtype == np.uint8
+        assert np.all(np.isfinite(s.expression))
+
+
+def test_st_reader_roundtrip(tmp_path):
+    """Write the synthetic HER2ST layout, read it back through the real reader."""
+    root = str(tmp_path / "her2st")
+    names, gene_names = synthetic.write_st_layout(root, num_sections=3, num_spots=9, num_genes=6)
+    assert her2st_section_names(root) == names  # < 34 sections: no [1:33] cut
+    sections = load_her2st(root, gene_names, cache_dir=str(tmp_path / "cache"))
+    assert [s.name for s in sections] == names
+    s = sections[0]
+    assert s.expression.shape == (9, 6)
+    assert s.patches.shape == (9, 224, 224, 3)
+    # positions are array coords starting at 1 in the fixture
+    assert s.positions.min() >= 1
+    # patch cache hit on re-read
+    sections2 = load_her2st(root, gene_names, cache_dir=str(tmp_path / "cache"))
+    np.testing.assert_array_equal(np.asarray(sections2[0].patches), np.asarray(s.patches))
+
+
+def test_st_reader_expression_matches_manual(tmp_path):
+    import pandas as pd
+
+    root = str(tmp_path / "her2st")
+    names, gene_names = synthetic.write_st_layout(root, num_sections=1, num_spots=4, num_genes=5)
+    sections = load_her2st(root, gene_names, with_patches=False)
+    cnt = pd.read_csv(os.path.join(root, "ST-cnts", f"{names[0]}.tsv"), sep="\t", index_col=0)
+    expected = normalize.logcpm_panel(cnt[gene_names].values)
+    np.testing.assert_allclose(sections[0].expression, expected, atol=1e-6)
+
+
+def test_pipeline_batching():
+    sections = synthetic.make_dataset(num_sections=2, num_spots=20, num_genes=8)
+    data = pipeline.ConcatSections.from_sections(sections)
+    assert len(data) == 40
+
+    batches = list(pipeline.train_batches(data, batch_size=16, seed=0, epoch=0))
+    assert [len(b["expression"]) for b in batches] == [16, 16, 8]
+    assert pipeline.num_train_steps(40, 16) == 3
+
+    # epochs shuffle differently but cover everything
+    b0 = list(pipeline.train_batches(data, 16, seed=0, epoch=0))
+    b1 = list(pipeline.train_batches(data, 16, seed=0, epoch=1))
+    assert not np.array_equal(b0[0]["expression"], b1[0]["expression"])
+
+    ev = list(pipeline.eval_batches(data, 32))
+    assert [len(b["expression"]) for b in ev] == [32, 8]
+    np.testing.assert_array_equal(ev[0]["expression"][:20], sections[0].expression)
+
+
+def test_split_fold():
+    sections = synthetic.make_dataset(num_sections=3, num_spots=8, num_genes=4)
+    train, test = pipeline.split_fold(sections, fold=1)
+    assert test.name == "S2"
+    assert [s.name for s in train] == ["S1", "S3"]
