@@ -1,0 +1,101 @@
+"""Evaluation metrics: gene-wise PCC (+p), HEG selection, MSE/MAE, clustering.
+
+Semantics match the reference exactly:
+  * ``get_R`` — per-gene Pearson r and two-sided p across spots (reference
+    ``utils.py:52-65``, scipy.pearsonr per column). Vectorized here; constant
+    columns yield NaN r (the reference then NaN-drops, ``evel_her2st.py:209``).
+  * HEG: the 50 highest-mean-expression genes of the *ground truth*, selected
+    with the identical ``np.argsort(mean)[::-1][:50]`` tie-breaking
+    (``evel_her2st.py:201-205``).
+  * MSE/MAE: sklearn uniform averages over all entries (``evel_her2st.py:214-221``).
+  * cluster: PCA(9) + KMeans(k-means++, random_state=0) vs pathologist
+    labels -> ARI/NMI, 'undetermined' spots excluded (``utils.py:67-79``;
+    the reference's tSNE call only feeds plots, not the clustering).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def pearson_per_gene(
+    pred: np.ndarray, true: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-column Pearson r and two-sided p ((N, G) arrays)."""
+    from scipy import stats
+
+    pred = np.asarray(pred, dtype=np.float64)
+    true = np.asarray(true, dtype=np.float64)
+    n = pred.shape[0]
+    pc = pred - pred.mean(axis=0)
+    tc = true - true.mean(axis=0)
+    denom = np.sqrt((pc**2).sum(0) * (tc**2).sum(0))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        r = (pc * tc).sum(0) / denom
+    r = np.where(denom == 0, np.nan, r)
+    r = np.clip(r, -1.0, 1.0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        t = r * np.sqrt((n - 2) / (1.0 - r**2))
+    p = 2.0 * stats.t.sf(np.abs(t), df=n - 2)
+    p = np.where(np.isnan(r), np.nan, p)
+    p = np.where(np.abs(r) >= 1.0, 0.0, p)
+    return r, p
+
+
+def heg_indices(true: np.ndarray, k: int = 50) -> np.ndarray:
+    """Top-k highest-mean genes, reference tie-breaking (argsort + [::-1])."""
+    gene_mean = np.mean(np.asarray(true), axis=0)
+    return np.argsort(gene_mean)[::-1][:k]
+
+
+def mse(pred: np.ndarray, true: np.ndarray) -> float:
+    return float(np.mean((np.asarray(true) - np.asarray(pred)) ** 2))
+
+
+def mae(pred: np.ndarray, true: np.ndarray) -> float:
+    return float(np.mean(np.abs(np.asarray(true) - np.asarray(pred))))
+
+
+def expression_metrics(
+    pred: np.ndarray, true: np.ndarray, heg_k: int = 50
+) -> Dict[str, float]:
+    """The per-fold metric bundle of the eval scripts (evel_her2st.py:193-221)."""
+    hvg_pcc, _ = pearson_per_gene(pred, true)
+    heg_idx = heg_indices(true, heg_k)
+    heg_pcc, _ = pearson_per_gene(pred[:, heg_idx], true[:, heg_idx])
+    hvg_valid = hvg_pcc[~np.isnan(hvg_pcc)]
+    return {
+        "hvg_pcc": float(np.mean(hvg_valid)),
+        "heg_pcc": float(np.mean(heg_pcc)),  # reference takes the raw mean
+        "mse": mse(pred, true),
+        "mae": mae(pred, true),
+    }
+
+
+def cluster_predictions(
+    pred: np.ndarray,
+    labels: Sequence[str],
+    n_components: int = 9,
+    random_state: int = 0,
+) -> Dict[str, float]:
+    """KMeans domain clustering of predicted expression vs pathologist labels."""
+    from sklearn.cluster import KMeans
+    from sklearn.decomposition import PCA
+    from sklearn.metrics import adjusted_rand_score, normalized_mutual_info_score
+
+    labels = np.asarray(labels)
+    keep = labels != "undetermined"
+    x = np.asarray(pred)[keep]
+    l = labels[keep]
+    n_clusters = len(set(l.tolist()))
+    comps = min(n_components, x.shape[0] - 1, x.shape[1])
+    x_pca = PCA(n_components=comps, random_state=random_state).fit_transform(x)
+    km = KMeans(n_clusters=n_clusters, init="k-means++", random_state=random_state)
+    assign = km.fit_predict(x_pca).astype(str)
+    return {
+        "ari": float(round(adjusted_rand_score(assign, l), 3)),
+        "nmi": float(round(normalized_mutual_info_score(l, assign), 3)),
+        "n_clusters": n_clusters,
+    }

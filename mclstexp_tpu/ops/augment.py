@@ -122,16 +122,22 @@ def _augment_one(key: jax.Array, img: jax.Array, rot_order: int) -> jax.Array:
     return rotate_image(img, angle, order=rot_order)
 
 
-@functools.partial(jax.jit, static_argnames=("rot_order",))
-def train_augment(key: jax.Array, patches_u8: jax.Array, rot_order: int = 0) -> jax.Array:
-    """Full train-time augmentation for a (B, H, W, 3) uint8 batch -> float32 [0,1]."""
+def train_augment_inline(
+    key: jax.Array, patches_u8: jax.Array, rot_order: int = 0
+) -> jax.Array:
+    """Traceable (un-jitted) form for fusing into a larger jitted program."""
     imgs = patches_u8.astype(jnp.float32) / 255.0
     keys = jax.random.split(key, imgs.shape[0])
     return jax.vmap(lambda k, im: _augment_one(k, im, rot_order))(keys, imgs)
 
 
-@jax.jit
-def tenx_augment(key: jax.Array, patches_u8: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("rot_order",))
+def train_augment(key: jax.Array, patches_u8: jax.Array, rot_order: int = 0) -> jax.Array:
+    """Full train-time augmentation for a (B, H, W, 3) uint8 batch -> float32 [0,1]."""
+    return train_augment_inline(key, patches_u8, rot_order)
+
+
+def tenx_augment_inline(key: jax.Array, patches_u8: jax.Array) -> jax.Array:
     """TenxDataset transform (reference ``dataset.py:316-325``): random hflip,
     random vflip, then rotation by a uniform choice of {180, 90, 0, -90}.
     Applied at train AND eval time in the reference. Float [0,1] NHWC output.
@@ -163,6 +169,11 @@ def tenx_augment(key: jax.Array, patches_u8: jax.Array) -> jax.Array:
         )
 
     return jax.vmap(one)(imgs, hflip, vflip, rot)
+
+
+@jax.jit
+def tenx_augment(key: jax.Array, patches_u8: jax.Array) -> jax.Array:
+    return tenx_augment_inline(key, patches_u8)
 
 
 @jax.jit

@@ -1,0 +1,130 @@
+"""Fold-loop training driver.
+
+Drives what reference ``train.py:98-129`` does — leave-one-section-out
+retraining from scratch per fold — over the jitted train step, with the
+engineering the reference lacks: periodic resumable checkpoints, structured
+metrics, throughput meters, and seeded determinism.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from mclstexp_tpu.config import Config
+from mclstexp_tpu.data.pipeline import (
+    ConcatSections,
+    num_train_steps,
+    split_fold,
+    train_batches,
+)
+from mclstexp_tpu.data.section import Section
+from mclstexp_tpu.parallel.mesh import make_mesh, shard_batch
+from mclstexp_tpu.train import checkpoint as ckpt
+from mclstexp_tpu.train.state import TrainState, create_train_state
+from mclstexp_tpu.train.step import make_train_step
+from mclstexp_tpu.utils.logging import MetricLogger
+from mclstexp_tpu.utils.meters import AvgMeter, Stopwatch
+
+
+def _sample_batch(data: ConcatSections, batch_size: int) -> Dict[str, np.ndarray]:
+    idx = np.arange(min(batch_size, len(data)))
+    b = data.take(idx)
+    return {
+        "image": b["image_u8"].astype(np.float32) / 255.0,
+        "expression": b["expression"],
+        "position": b["position"],
+    }
+
+
+def train_fold(
+    cfg: Config,
+    sections: Sequence[Section],
+    fold: int,
+    logger: Optional[MetricLogger] = None,
+    mesh=None,
+    resume: bool = False,
+) -> TrainState:
+    """Train one leave-one-out fold from scratch; returns the final state.
+
+    Checkpoints land in ``<checkpoint_dir>/<dataset>/<test section>/
+    best_<fold>`` mirroring the reference layout (train.py:87-95).
+    """
+    logger = logger or MetricLogger()
+    train_secs, test_sec = split_fold(sections, fold)
+    data = ConcatSections.from_sections(train_secs)
+
+    mesh = mesh or make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
+    model, state = create_train_state(
+        cfg.model, cfg.train, _sample_batch(data, cfg.train.batch_size)
+    )
+
+    ckpt_dir = ckpt.fold_checkpoint_dir(
+        cfg.train.checkpoint_dir, cfg.data.dataset, test_sec.name, fold
+    )
+    start_epoch = 0
+    if resume and os.path.exists(ckpt_dir):
+        restored = ckpt.restore_checkpoint(ckpt_dir)
+        state = ckpt.apply_checkpoint(state, restored)
+        steps_per_epoch = num_train_steps(len(data), cfg.train.batch_size)
+        start_epoch = int(restored["step"]) // max(steps_per_epoch, 1)
+        logger.log(event="resume", fold=fold, epoch=start_epoch)
+
+    augment_mode = "tenx" if cfg.data.dataset == "visium" else "st"
+    step_fn = make_train_step(model, augment_mode=augment_mode, donate=cfg.train.donate)
+
+    base_rng = jax.random.PRNGKey(cfg.train.seed + 1000 * fold)
+    watch = Stopwatch()
+    for epoch in range(start_epoch, cfg.train.max_epochs):
+        loss_meter = AvgMeter("train_loss")
+        for i, batch in enumerate(
+            train_batches(data, cfg.train.batch_size, cfg.train.seed, epoch)
+        ):
+            rng = jax.random.fold_in(base_rng, epoch * 100000 + i)
+            device_batch = shard_batch(batch, mesh)
+            state, loss = step_fn(state, device_batch, rng)
+            bs = len(batch["expression"])
+            loss_meter.update(float(loss), bs)
+            watch.update(bs)
+            if cfg.train.log_every and (i + 1) % cfg.train.log_every == 0:
+                logger.log(
+                    fold=fold, epoch=epoch, step=i + 1,
+                    loss=loss_meter.avg, spots_per_sec=watch.rate,
+                )
+        logger.log(fold=fold, epoch=epoch, epoch_loss=loss_meter.avg,
+                   spots_per_sec=watch.rate)
+        if (
+            cfg.train.checkpoint_every_epochs
+            and (epoch + 1) % cfg.train.checkpoint_every_epochs == 0
+        ):
+            ckpt.save_checkpoint(ckpt_dir, state)
+
+    ckpt.save_checkpoint(ckpt_dir, state)
+    return state
+
+
+def train_all_folds(
+    cfg: Config,
+    sections: Sequence[Section],
+    folds: Optional[Sequence[int]] = None,
+    logger: Optional[MetricLogger] = None,
+) -> List[str]:
+    """The reference's outer loop (train.py:100-128): every fold from scratch.
+    Returns the checkpoint directories."""
+    logger = logger or MetricLogger()
+    folds = folds if folds is not None else range(len(sections))
+    mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
+    out = []
+    for fold in folds:
+        state = train_fold(cfg, sections, fold, logger=logger, mesh=mesh)
+        test_name = sections[fold].name
+        out.append(
+            ckpt.fold_checkpoint_dir(
+                cfg.train.checkpoint_dir, cfg.data.dataset, test_name, fold
+            )
+        )
+        del state
+    return out

@@ -1,0 +1,71 @@
+"""Train state and optimizer.
+
+Optimizer parity: the reference uses ``torch.optim.Adam(lr=1e-4,
+weight_decay=1e-3)`` (reference ``train.py:118-120``) — *coupled* L2 (the
+decay term is added to the gradient before the Adam moments), not AdamW.
+The optax chain below reproduces exactly that ordering.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from mclstexp_tpu.config import ModelConfig, TrainConfig
+from mclstexp_tpu.models.mclstexp import MclSTExp
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any  # BatchNorm running statistics (image towers)
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats=None):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            batch_stats=(
+                new_batch_stats if new_batch_stats is not None else self.batch_stats
+            ),
+        )
+
+
+def torch_adam(lr: float, weight_decay: float) -> optax.GradientTransformation:
+    """torch.optim.Adam with coupled weight_decay (L2-to-gradient)."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale(-lr),
+    )
+
+
+def create_train_state(
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    sample_batch: Dict[str, jax.Array],
+    rng: Optional[jax.Array] = None,
+) -> tuple[MclSTExp, TrainState]:
+    """Initialize the flagship model and its optimizer state."""
+    model = MclSTExp(model_cfg)
+    rng = rng if rng is not None else jax.random.PRNGKey(train_cfg.seed)
+    variables = model.init({"params": rng, "dropout": rng}, sample_batch, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = torch_adam(train_cfg.lr, train_cfg.weight_decay)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+    return model, state

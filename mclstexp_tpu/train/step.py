@@ -1,0 +1,88 @@
+"""The jitted train step: augment -> towers -> InfoNCE -> Adam, one program.
+
+Everything the reference does per step across Python, the DataLoader, and
+CUDA kernels (reference ``train.py:30-42``: host-side augmentation, `.cuda()`
+transfer, forward, backward, step) compiles here into a single XLA program
+over the mesh: uint8 patches arrive sharded on the data axis, augmentation
+runs on-device (ops.augment), both towers and the global-batch loss fuse
+into one backward pass, and the Adam update donates the state buffers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mclstexp_tpu.core.losses import symmetric_infonce
+from mclstexp_tpu.models.mclstexp import MclSTExp
+from mclstexp_tpu.ops import augment
+from mclstexp_tpu.train.state import TrainState
+
+
+def make_train_step(
+    model: MclSTExp,
+    augment_mode: str = "st",  # "st" (jitter+flip+rotate) | "tenx" | "none"
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted step: (state, batch, rng) -> (state, loss).
+
+    batch: {"image_u8": (B, P, P, 3) uint8, "expression": (B, G) f32,
+    "position": (B, 2) i32}. Augmentation is part of the compiled program.
+    """
+
+    def step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        aug_rng, dropout_rng = jax.random.split(rng)
+        if augment_mode == "st":
+            images = augment.train_augment_inline(aug_rng, batch["image_u8"])
+        elif augment_mode == "tenx":
+            images = augment.tenx_augment_inline(aug_rng, batch["image_u8"])
+        else:
+            images = batch["image_u8"].astype(jnp.float32) / 255.0
+
+        model_batch = {
+            "image": images,
+            "expression": batch["expression"],
+            "position": batch["position"],
+        }
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            (image_emb, spot_emb), updates = model.apply(
+                variables,
+                model_batch,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng},
+            )
+            loss = symmetric_infonce(spot_emb, image_emb, model.config.temperature)
+            return loss, updates.get("batch_stats", state.batch_stats)
+
+        (loss, new_batch_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads, new_batch_stats)
+        return new_state, loss
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_eval_embed_step(model: MclSTExp) -> Callable:
+    """Jitted embedding step for the dump phase (reference
+    ``evel_her2st.py:44-70``): float images (no augmentation), batch-as-
+    sequence spot tower, both projections. Returns (image_emb, spot_emb)."""
+
+    def embed(params, batch_stats, batch: Dict[str, jax.Array]):
+        variables = {"params": params, "batch_stats": batch_stats}
+        images = batch["image_u8"].astype(jnp.float32) / 255.0
+        model_batch = {
+            "image": images,
+            "expression": batch["expression"],
+            "position": batch["position"],
+        }
+        return model.apply(variables, model_batch, train=False)
+
+    return jax.jit(embed)

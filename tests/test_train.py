@@ -1,0 +1,122 @@
+"""Train-step and state tests (CPU, tiny model)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mclstexp_tpu.config import ModelConfig, TrainConfig
+from mclstexp_tpu.data import pipeline, synthetic
+from mclstexp_tpu.train.state import create_train_state, torch_adam
+from mclstexp_tpu.train.step import make_train_step
+
+
+TINY = ModelConfig(
+    encoder_name="tiny_cnn", image_dim=128, spot_dim=16, projection_dim=8,
+    heads_num=2, heads_dim=4,
+)
+
+
+def _data(num_spots=32, num_genes=16, patch=16):
+    sections = synthetic.make_dataset(
+        num_sections=2, num_spots=num_spots, num_genes=num_genes, patch_size=patch
+    )
+    return pipeline.ConcatSections.from_sections(sections)
+
+
+def _sample(data, bs):
+    b = data.take(np.arange(bs))
+    return {
+        "image": b["image_u8"].astype(np.float32) / 255.0,
+        "expression": b["expression"],
+        "position": b["position"],
+    }
+
+
+def test_torch_adam_matches_torch(rng):
+    """One optimizer step vs torch.optim.Adam with coupled weight decay."""
+    torch = pytest.importorskip("torch")
+
+    w0 = rng.normal(size=(5,)).astype(np.float32)
+    g = rng.normal(size=(5,)).astype(np.float32)
+    lr, wd = 1e-2, 1e-1
+
+    tw = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt = torch.optim.Adam([tw], lr=lr, weight_decay=wd)
+    tw.grad = torch.tensor(g.copy())
+    opt.step()
+
+    tx = torch_adam(lr, wd)
+    params = {"w": jnp.asarray(w0)}
+    opt_state = tx.init(params)
+    updates, _ = tx.update({"w": jnp.asarray(g)}, opt_state, params)
+    new_w = np.asarray(params["w"] + updates["w"])
+    np.testing.assert_allclose(new_w, tw.detach().numpy(), atol=1e-6)
+
+
+def test_train_step_decreases_loss():
+    data = _data()
+    cfg = TrainConfig(batch_size=16, lr=1e-3, weight_decay=0.0, seed=0)
+    model, state = create_train_state(TINY, cfg, _sample(data, 16))
+    step_fn = make_train_step(model, augment_mode="none", donate=False)
+
+    batch = data.take(np.arange(16))
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(30):
+        state, loss = step_fn(state, batch, jax.random.fold_in(rng, i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] - 0.5, losses[::10]
+
+
+def test_train_step_with_augmentation_runs():
+    data = _data()
+    cfg = TrainConfig(batch_size=8, seed=0)
+    model, state = create_train_state(TINY, cfg, _sample(data, 8))
+    step_fn = make_train_step(model, augment_mode="st", donate=False)
+    batch = data.take(np.arange(8))
+    state, loss = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    # augmentation is stochastic: same params, different rng -> different loss
+    _, loss2 = step_fn(state, batch, jax.random.PRNGKey(2))
+    assert float(loss) != float(loss2)
+
+
+def test_batchnorm_stats_update():
+    """Towers with BatchNorm (resnet18) must update running stats in train."""
+    cfg_model = ModelConfig(
+        encoder_name="res18", image_dim=512, spot_dim=16, projection_dim=8,
+        heads_num=2, heads_dim=4,
+    )
+    data = _data(patch=32)
+    cfg = TrainConfig(batch_size=8, seed=0)
+    model, state = create_train_state(cfg_model, cfg, _sample(data, 8))
+    assert state.batch_stats, "resnet18 should have batch_stats"
+    step_fn = make_train_step(model, augment_mode="none", donate=False)
+    before = jax.tree.map(np.asarray, state.batch_stats)
+    state, _ = step_fn(state, data.take(np.arange(8)), jax.random.PRNGKey(0))
+    after = jax.tree.map(np.asarray, state.batch_stats)
+    leaves_changed = [
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after))
+    ]
+    assert any(leaves_changed)
+
+
+def test_multi_device_step_matches_single(rng):
+    """Loss on an 8-device data-sharded batch == single-device loss."""
+    from mclstexp_tpu.parallel.mesh import make_mesh, shard_batch
+
+    data = _data()
+    cfg = TrainConfig(batch_size=16, seed=0)
+    model, state = create_train_state(TINY, cfg, _sample(data, 16))
+    step_fn = make_train_step(model, augment_mode="none", donate=False)
+    batch = data.take(np.arange(16))
+
+    _, loss_single = step_fn(state, batch, jax.random.PRNGKey(0))
+
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+    sharded = shard_batch(batch, mesh)
+    _, loss_sharded = step_fn(state, sharded, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(loss_single), float(loss_sharded), rtol=2e-5)
