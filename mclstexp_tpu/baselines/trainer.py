@@ -1,0 +1,360 @@
+"""Slide-level training/eval driver for the baseline families.
+
+The reference baselines train with Lightning at batch = 1 whole slide
+(reference ``HIST2ST_train.py:92-98``, HisToGene tutorial cell 3), so the
+"sequence" length is the section's spot count — a dynamic shape. The
+TPU-idiomatic equivalent here pads every slide to a bucket size (multiple of
+128) with an attention/loss mask, so XLA compiles one program per bucket
+instead of one per section.
+
+Losses per family:
+  * HisToGene / THItoGene: masked MSE (``vis_model.py:169-173``,
+    ``THItoGene/vis_model.py:209-213``);
+  * Hist2ST: masked MSE + zinb_coef * ZINB(raw counts, size factors) +
+    lamb * self-distillation over `bake` augmented forward passes
+    (``HIST2ST.py:174-199``);
+  * BLEEP: per-spot contrastive batches with the soft-target CLIP loss
+    (``Bleep/BLEEP_main.py:60-80``) — reuses the shared batching pipeline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mclstexp_tpu.baselines import losses as bl
+from mclstexp_tpu.baselines.graph import knn_adjacency
+from mclstexp_tpu.baselines.models import BLEEP, Hist2ST, HisToGene, THItoGene
+from mclstexp_tpu.data.pipeline import split_fold
+from mclstexp_tpu.data.section import Section
+from mclstexp_tpu.infer.metrics import expression_metrics
+from mclstexp_tpu.ops.augment import rotate_image
+from mclstexp_tpu.train.state import TrainState, torch_adam
+from mclstexp_tpu.utils.logging import MetricLogger
+from mclstexp_tpu.utils.meters import AvgMeter
+
+
+@dataclasses.dataclass(frozen=True)
+class BaselineConfig:
+    model: str = "histogene"  # histogene | hist2st | thitogene | bleep
+    n_genes: int = 785
+    patch_size: int = 112  # all three slide-level baselines use 112px figs
+    n_pos: int = 64
+    lr: float = 1e-5
+    weight_decay: float = 0.0
+    max_epochs: int = 100
+    seed: int = 0
+    bucket: int = 128  # slide padding granularity
+    # Hist2ST extras (reference HIST2ST_train.py defaults: zinb .25, bake 5, lamb .5)
+    zinb_coef: float = 0.25
+    nb: bool = False
+    bake: int = 0  # augmented distillation passes (0 disables)
+    lamb: float = 0.5
+    # graph (Hist2ST uses k=4 'grid'; THItoGene k=4)
+    knn_k: int = 4
+    knn_prune: str = "grid"
+    dropout: float = 0.2
+    dtype: str = "float32"
+    # BLEEP extras
+    batch_size: int = 128
+    encoder_name: str = "resnet50"
+    temperature: float = 1.0
+
+
+def build_baseline(cfg: BaselineConfig):
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    if cfg.model == "histogene":
+        return HisToGene(
+            n_genes=cfg.n_genes, patch_size=cfg.patch_size, n_pos=cfg.n_pos,
+            dropout=0.1, dtype=dtype,
+        )
+    if cfg.model == "hist2st":
+        return Hist2ST(
+            n_genes=cfg.n_genes, fig_size=cfg.patch_size, n_pos=cfg.n_pos,
+            dropout=cfg.dropout, zinb=cfg.zinb_coef > 0, nb=cfg.nb, dtype=dtype,
+        )
+    if cfg.model == "thitogene":
+        return THItoGene(
+            n_genes=cfg.n_genes, patch_size=cfg.patch_size, n_pos=cfg.n_pos,
+            dropout=cfg.dropout, dtype=dtype,
+        )
+    if cfg.model == "bleep":
+        return BLEEP(
+            spot_dim=cfg.n_genes, encoder_name=cfg.encoder_name,
+            temperature=cfg.temperature, dtype=dtype,
+        )
+    raise KeyError(f"unknown baseline {cfg.model!r}")
+
+
+def pad_slide(section: Section, bucket: int, with_adj: bool, cfg: BaselineConfig):
+    """Pad one section's arrays to the next bucket multiple; returns dict."""
+    n = section.num_spots
+    padded = ((n + bucket - 1) // bucket) * bucket
+    pad = padded - n
+
+    def pad0(a, value=0):
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(np.asarray(a), widths, constant_values=value)
+
+    out = {
+        "patches": pad0(np.asarray(section.patches)),
+        "positions": pad0(section.positions),
+        "expression": pad0(section.expression),
+        "mask": np.concatenate([np.ones(n, bool), np.zeros(pad, bool)]),
+    }
+    if section.counts is not None:
+        out["counts"] = pad0(section.counts)
+        sf = section.size_factors
+        out["size_factors"] = np.concatenate([sf, np.ones(pad, np.float32)])
+    if with_adj:
+        adj = knn_adjacency(section.positions, k=cfg.knn_k, prune=cfg.knn_prune)
+        full = np.zeros((padded, padded), np.float32)
+        full[:n, :n] = adj
+        out["adj"] = full
+    return out
+
+
+def masked_mse(pred: jax.Array, target: jax.Array, mask: jax.Array) -> jax.Array:
+    err = jnp.square(pred - target) * mask[:, None]
+    return jnp.sum(err) / (jnp.sum(mask) * pred.shape[1])
+
+
+def _bake_augment(key: jax.Array, patches: jax.Array, n_bake: int) -> jax.Array:
+    """Hist2ST's distillation augmentation (HIST2ST.py:53-57,160-166):
+    RandomGrayscale(0.1) + RandomRotation(90) + RandomHorizontalFlip(0.2),
+    applied to the whole slide per bake."""
+    luma = jnp.array([0.299, 0.587, 0.114], dtype=jnp.float32)
+
+    def one_bake(k):
+        kg, kr, kf = jax.random.split(k, 3)
+        gray = jax.random.bernoulli(kg, 0.1)
+        angle = jax.random.uniform(kr, (), minval=-90.0, maxval=90.0)
+        flip = jax.random.bernoulli(kf, 0.2)
+
+        def per_img(im):
+            g = (im @ luma)[..., None] * jnp.ones_like(im)
+            im2 = jnp.where(gray, g, im)
+            im2 = rotate_image(im2, angle, order=0)
+            return jnp.where(flip, im2[:, ::-1, :], im2)
+
+        return jax.vmap(per_img)(patches)
+
+    return jax.vmap(one_bake)(jax.random.split(key, n_bake))
+
+
+def make_slide_step(model, cfg: BaselineConfig) -> Callable:
+    """Jitted per-slide train step for the regression baselines."""
+    uses_adj = cfg.model in ("hist2st", "thitogene")
+
+    def step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        drop_rng, bake_rng = jax.random.split(rng)
+        patches = batch["patches"].astype(jnp.float32) / 255.0
+        mask = batch["mask"]
+
+        def apply_model(params, pats, train):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            kwargs = dict(train=train, mask=mask)
+            args = (pats, batch["positions"])
+            if uses_adj:
+                args = args + (batch["adj"],)
+            return model.apply(
+                variables, *args, **kwargs,
+                mutable=["batch_stats"] if train else [],
+                rngs={"dropout": drop_rng},
+            )
+
+        def loss_fn(params):
+            out, updates = apply_model(params, patches, True)
+            new_bs = updates.get("batch_stats", state.batch_stats)
+            if cfg.model == "hist2st":
+                pred, extra, h = out
+            else:
+                pred, extra, h = out, None, None
+            loss = masked_mse(pred, batch["expression"], mask)
+            if cfg.model == "hist2st" and extra is not None and "counts" in batch:
+                if cfg.nb:
+                    r, p = extra
+                    ll = bl.nb_loss(batch["counts"], r, p)
+                else:
+                    m, d, pi = extra
+                    ll = bl.zinb_loss(
+                        batch["counts"], m, d, pi, batch["size_factors"]
+                    )
+                loss = loss + cfg.zinb_coef * ll
+            if cfg.model == "hist2st" and cfg.bake > 0:
+                baked = _bake_augment(bake_rng, patches, cfg.bake)
+                preds = []
+                for i in range(cfg.bake):
+                    (bp, _, _), _ = apply_model(params, baked[i], True)
+                    preds.append(bp)
+                new_pred = jnp.mean(jnp.stack(preds), axis=0)
+                loss = loss + cfg.lamb * masked_mse(new_pred, pred, mask)
+            return loss, new_bs
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads, new_bs), loss
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def init_baseline(
+    cfg: BaselineConfig, section: Section, rng: Optional[jax.Array] = None
+) -> Tuple[Any, TrainState]:
+    model = build_baseline(cfg)
+    rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+    batch = pad_slide(section, cfg.bucket, cfg.model in ("hist2st", "thitogene"), cfg)
+    patches = batch["patches"][: cfg.bucket].astype(np.float32) / 255.0
+    args = (patches, batch["positions"][: cfg.bucket])
+    if cfg.model in ("hist2st", "thitogene"):
+        args = args + (batch["adj"][: cfg.bucket, : cfg.bucket],)
+    if cfg.model == "bleep":
+        variables = model.init(
+            {"params": rng, "dropout": rng},
+            {"image": patches[:2], "expression": batch["expression"][:2]},
+        )
+    else:
+        variables = model.init({"params": rng, "dropout": rng}, *args)
+    tx = torch_adam(cfg.lr, cfg.weight_decay)
+    params = variables["params"]
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+    return model, state
+
+
+def train_baseline_fold(
+    cfg: BaselineConfig,
+    sections: Sequence[Section],
+    fold: int,
+    logger: Optional[MetricLogger] = None,
+) -> Tuple[Any, TrainState]:
+    """Leave-one-out training of a slide-level baseline."""
+    logger = logger or MetricLogger()
+    train_secs, _ = split_fold(sections, fold)
+    model, state = init_baseline(cfg, train_secs[0])
+    step_fn = make_slide_step(model, cfg)
+    uses_adj = cfg.model in ("hist2st", "thitogene")
+
+    padded = [pad_slide(s, cfg.bucket, uses_adj, cfg) for s in train_secs]
+    rng = jax.random.PRNGKey(cfg.seed)
+    order_rng = np.random.default_rng(cfg.seed)
+    for epoch in range(cfg.max_epochs):
+        meter = AvgMeter("loss")
+        for i in order_rng.permutation(len(padded)):
+            batch = {k: jnp.asarray(v) for k, v in padded[i].items()}
+            state, loss = step_fn(
+                state, batch, jax.random.fold_in(rng, epoch * 1000 + int(i))
+            )
+            meter.update(float(loss))
+        logger.log(model=cfg.model, fold=fold, epoch=epoch, loss=meter.avg)
+    return model, state
+
+
+def predict_slide(model, state, section: Section, cfg: BaselineConfig) -> np.ndarray:
+    """(N, G) predictions for one section."""
+    uses_adj = cfg.model in ("hist2st", "thitogene")
+    batch = pad_slide(section, cfg.bucket, uses_adj, cfg)
+    patches = jnp.asarray(batch["patches"]).astype(jnp.float32) / 255.0
+    args = (patches, jnp.asarray(batch["positions"]))
+    if uses_adj:
+        args = args + (jnp.asarray(batch["adj"]),)
+    out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        *args, train=False, mask=jnp.asarray(batch["mask"]),
+    )
+    pred = out[0] if cfg.model == "hist2st" else out
+    return np.asarray(pred)[: section.num_spots]
+
+
+def make_bleep_step(model: BLEEP, cfg: BaselineConfig) -> Callable:
+    """Per-spot contrastive step (reference ``Bleep/BLEEP_main.py:60-80``)."""
+
+    def step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        images = batch["image_u8"].astype(jnp.float32) / 255.0
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            (image_emb, spot_emb), updates = model.apply(
+                variables,
+                {"image": images, "expression": batch["expression"]},
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            loss = bl.bleep_clip_loss(spot_emb, image_emb, cfg.temperature)
+            return loss, updates.get("batch_stats", state.batch_stats)
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads, new_bs), loss
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def train_bleep_fold(
+    cfg: BaselineConfig,
+    sections: Sequence[Section],
+    fold: int,
+    logger: Optional[MetricLogger] = None,
+) -> Tuple[Any, TrainState]:
+    from mclstexp_tpu.data.pipeline import ConcatSections, train_batches
+
+    logger = logger or MetricLogger()
+    train_secs, _ = split_fold(sections, fold)
+    data = ConcatSections.from_sections(train_secs)
+    model, state = init_baseline(cfg, train_secs[0])
+    step_fn = make_bleep_step(model, cfg)
+    rng = jax.random.PRNGKey(cfg.seed)
+    for epoch in range(cfg.max_epochs):
+        meter = AvgMeter("loss")
+        for i, batch in enumerate(train_batches(data, cfg.batch_size, cfg.seed, epoch)):
+            device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, loss = step_fn(
+                state, device_batch, jax.random.fold_in(rng, epoch * 100000 + i)
+            )
+            meter.update(float(loss), len(batch["expression"]))
+        logger.log(model="bleep", fold=fold, epoch=epoch, loss=meter.avg)
+    return model, state
+
+
+def bleep_embeddings(
+    model: BLEEP, state: TrainState, sections: Sequence[Section], batch_size: int = 32
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(image, spot) projections for retrieval eval (BLEEP's inference mirrors
+    mclSTExp's: top-K cosine over spot embeddings, simple/weighted average)."""
+    from mclstexp_tpu.data.pipeline import ConcatSections, eval_batches
+
+    data = ConcatSections.from_sections(sections)
+
+    @jax.jit
+    def embed(params, batch_stats, images, expression):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            {"image": images, "expression": expression},
+            train=False,
+        )
+
+    img_out, spot_out = [], []
+    for batch in eval_batches(data, batch_size):
+        images = jnp.asarray(batch["image_u8"]).astype(jnp.float32) / 255.0
+        ie, se = embed(state.params, state.batch_stats, images, jnp.asarray(batch["expression"]))
+        img_out.append(np.asarray(ie))
+        spot_out.append(np.asarray(se))
+    return np.concatenate(img_out), np.concatenate(spot_out)
+
+
+def evaluate_baseline_fold(
+    cfg: BaselineConfig, sections: Sequence[Section], fold: int, model, state
+) -> Dict[str, float]:
+    """Per-gene PCC / MSE / MAE of the held-out slide (the reference
+    baselines' test metric, e.g. ``HIST2ST_train.py:100-104``)."""
+    test = sections[fold]
+    pred = predict_slide(model, state, test, cfg)
+    return expression_metrics(pred, test.expression)

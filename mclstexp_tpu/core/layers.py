@@ -111,7 +111,12 @@ class MultiHeadSelfAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        deterministic: bool = True,
+        mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
         b, n, _ = x.shape
         h, d = self.heads, self.dim_head
         inner = h * d
@@ -126,6 +131,10 @@ class MultiHeadSelfAttention(nn.Module):
         logits = jnp.einsum(
             "bihd,bjhd->bhij", q, k, preferred_element_type=jnp.float32
         ) * scale
+        if mask is not None:
+            # mask: (b, n) or (n,) key-validity — padded tokens get no weight
+            key_mask = jnp.broadcast_to(mask, (b, n))[:, None, None, :]
+            logits = jnp.where(key_mask, logits, -1e30)
         attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhij,bjhd->bihd", attn, v, preferred_element_type=self.dtype)
         out = out.reshape(b, n, inner)
@@ -167,11 +176,16 @@ class AttnBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        deterministic: bool = True,
+        mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
         h = LayerNormT(dtype=self.dtype, name="norm_attn")(x)
         h = MultiHeadSelfAttention(
             self.dim, self.heads, self.dim_head, self.dropout, self.dtype, name="attn"
-        )(h, deterministic)
+        )(h, deterministic, mask)
         x = x + h
         h = LayerNormT(dtype=self.dtype, name="norm_ff")(x)
         h = FeedForward(self.dim, self.mlp_dim, self.dropout, self.dtype, name="ff")(

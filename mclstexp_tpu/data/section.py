@@ -22,6 +22,17 @@ class Section:
     centers: np.ndarray  # (N, 2) int32 pixel (x, y) patch centers
     patches: Optional[np.ndarray] = None  # (N, P, P, 3) uint8, pre-cut
     labels: Optional[np.ndarray] = None  # pathologist annotations (strings)
+    counts: Optional[np.ndarray] = None  # (N, G) raw counts over the panel
+    # (needed by the NB/ZINB heads of the Hist2ST baseline; size factors are
+    # counts.sum(1)/median, computed lazily)
+
+    @property
+    def size_factors(self) -> Optional[np.ndarray]:
+        if self.counts is None:
+            return None
+        lib = self.counts.sum(axis=1)
+        med = np.median(lib[lib > 0]) if (lib > 0).any() else 1.0
+        return (lib / med).astype(np.float32)
 
     def __post_init__(self):
         n = len(self.expression)

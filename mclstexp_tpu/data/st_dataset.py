@@ -78,7 +78,7 @@ def _section_from_meta(
     cache_dir: Optional[str],
     labels: Optional[np.ndarray] = None,
 ) -> Section:
-    counts = meta[list(gene_panel)].values
+    counts = meta[list(gene_panel)].values.astype(np.float32)
     expression = logcpm_panel(counts)
     centers = np.floor(meta[["pixel_x", "pixel_y"]].values).astype(np.int32)
     positions = meta[["x", "y"]].values.astype(np.int32)
@@ -104,6 +104,7 @@ def _section_from_meta(
         centers=centers,
         patches=patches,
         labels=labels,
+        counts=counts,
     )
 
 

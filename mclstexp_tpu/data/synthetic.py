@@ -61,6 +61,7 @@ def make_section(
         positions=positions,
         centers=centers,
         patches=patches,
+        counts=counts.astype(np.float32),
     )
 
 
