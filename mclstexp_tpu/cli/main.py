@@ -120,6 +120,29 @@ def cmd_hvg(args) -> int:
     """Build per-section preprocessed expression matrices (and optionally a
     fresh HVG panel) — the reference ``hvg_*.py`` pipeline."""
     cfg = _build_config(args)
+    if cfg.data.dataset == "visium":
+        # Visium flows raw 10x counts -> gene x spot matrices (its own quirky
+        # orientation, see data/visium.py); sections can't be loaded first.
+        from mclstexp_tpu.data import genes
+        from mclstexp_tpu.data.visium import (
+            VISIUM_SECTIONS,
+            VISIUM_SECTIONS_ALEX,
+            build_visium_preprocessed,
+        )
+
+        panel = genes.load_panel("visium", cfg.data.gene_panel or None)
+        matrix_dirs = {}
+        for name in VISIUM_SECTIONS:
+            sub = (
+                "filtered_count_matrix"
+                if name in VISIUM_SECTIONS_ALEX
+                else "filtered_feature_bc_matrix"
+            )
+            matrix_dirs[name] = os.path.join(cfg.data.data_root, name, sub)
+        out_root = args.out or cfg.data.preprocessed_root
+        build_visium_preprocessed(matrix_dirs, out_root, panel)
+        print(f"wrote {len(matrix_dirs)} matrices under {out_root}")
+        return 0
     sections = _load_sections(cfg, with_patches=False)
     out_root = os.path.join(args.out or cfg.data.preprocessed_root, cfg.data.dataset)
     for s in sections:

@@ -129,6 +129,51 @@ def load_visium(
     return out
 
 
+def make_var_names_unique(names: Sequence[str]) -> List[str]:
+    """scanpy ``var_names_make_unique`` semantics: duplicates get -1, -2, ..."""
+    seen: dict = {}
+    out = []
+    for n in names:
+        if n in seen:
+            seen[n] += 1
+            out.append(f"{n}-{seen[n]}")
+        else:
+            seen[n] = 0
+            out.append(n)
+    return out
+
+
+def build_visium_preprocessed(
+    matrix_dirs: dict,
+    out_root: str,
+    gene_list: Sequence[str],
+) -> None:
+    """Build per-section ``preprocessed_matrix.npy`` files for Visium
+    (reference ``hvg_visium.py:199-243``).
+
+    matrix_dirs: {section name: path to the 10x mtx triplet directory}.
+
+    Reference quirk reproduced deliberately: the matrices are stored
+    gene x spot and ``library_size_normalize`` + log10 are applied in THAT
+    orientation (``hvg_visium.py:215,234-236``) — i.e. each *gene* row is
+    L1-normalized across spots, unlike the per-spot normalization of the
+    HER2ST/cSCC paths. The eval ground truth uses the same matrices, so the
+    protocol is self-consistent; we match it for parity.
+    """
+    from mclstexp_tpu.data.normalize import library_size_normalize, log_transform
+
+    for name, mdir in matrix_dirs.items():
+        mat, barcodes, gene_names = read_10x_mtx(mdir)  # (spots, genes)
+        gene_names = make_var_names_unique(gene_names)
+        col = {g: i for i, g in enumerate(gene_names)}
+        idx = [col[g] for g in gene_list]
+        sub = mat[:, idx].T.astype(np.float64)  # gene x spot
+        pre = log_transform(library_size_normalize(sub))
+        d = os.path.join(out_root, name)
+        os.makedirs(d, exist_ok=True)
+        np.save(os.path.join(d, "preprocessed_matrix.npy"), pre)
+
+
 def read_10x_mtx(matrix_dir: str) -> Tuple[np.ndarray, List[str], List[str]]:
     """Read a 10x mtx triplet (matrix.mtx(.gz), barcodes, features) into a dense
     (spots x genes) array (reference ``hvg_visium.py:63-138`` vendored reader).
