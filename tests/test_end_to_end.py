@@ -20,7 +20,7 @@ from mclstexp_tpu.train.loop import train_fold
 from mclstexp_tpu.utils.logging import MetricLogger
 
 
-def _cfg(tmp_path, epochs=6):
+def _cfg(tmp_path, epochs=12):
     return Config(
         model=ModelConfig(
             encoder_name="tiny_cnn", image_dim=128, spot_dim=24,
