@@ -49,6 +49,59 @@ def find_matches(
     return jax.lax.top_k(scores, top_k)
 
 
+@functools.partial(jax.jit, static_argnames=("top_k", "chunk_size"))
+def streaming_topk(
+    key_emb: jax.Array,
+    query_emb: jax.Array,
+    top_k: int,
+    chunk_size: int = 4096,
+) -> Tuple[jax.Array, jax.Array]:
+    """Memory-bounded cosine top-K over arbitrarily large key sets.
+
+    `find_matches` materializes the (Nq, Nk) score matrix; at production
+    retrieval scale (millions of reference spots resident in HBM) that
+    matrix dwarfs the embeddings themselves. This version streams keys in
+    chunks under `lax.scan`: each step is one (Nq, C) MXU matmul merged into
+    a running (Nq, top_k) buffer via `lax.top_k` over top_k + C candidates —
+    peak memory O(Nq * (top_k + C)), bit-identical ordering to the dense
+    path for distinct scores.
+    """
+    q = l2_normalize(query_emb.astype(jnp.float32))
+    k = l2_normalize(key_emb.astype(jnp.float32))
+    nk, d = k.shape
+    nq = q.shape[0]
+
+    pad = (-nk) % chunk_size
+    if pad:
+        k = jnp.concatenate([k, jnp.zeros((pad, d), k.dtype)])
+    n_chunks = k.shape[0] // chunk_size
+    k_chunks = k.reshape(n_chunks, chunk_size, d)
+
+    init_vals = jnp.full((nq, top_k), -jnp.inf, jnp.float32)
+    init_idx = jnp.zeros((nq, top_k), jnp.int32)
+
+    def body(carry, inp):
+        vals, idx = carry
+        chunk_i, k_chunk = inp
+        scores = q @ k_chunk.T  # (Nq, C)
+        cand_idx = chunk_i * chunk_size + jax.lax.broadcasted_iota(
+            jnp.int32, (nq, chunk_size), 1
+        )
+        # padded keys are zero vectors -> score 0; mask them out
+        valid = cand_idx < nk
+        scores = jnp.where(valid, scores, -jnp.inf)
+        all_vals = jnp.concatenate([vals, scores], axis=1)
+        all_idx = jnp.concatenate([idx, cand_idx], axis=1)
+        new_vals, pos = jax.lax.top_k(all_vals, top_k)
+        new_idx = jnp.take_along_axis(all_idx, pos, axis=1)
+        return (new_vals, new_idx), None
+
+    (vals, idx), _ = jax.lax.scan(
+        body, (init_vals, init_idx), (jnp.arange(n_chunks), k_chunks)
+    )
+    return vals, idx
+
+
 @functools.partial(jax.jit, static_argnames=("weight_ord",))
 def _aggregate_chunk(
     key_emb: jax.Array,  # (Nk, D) unnormalized

@@ -58,6 +58,27 @@ def test_find_matches_topk_order(rng):
     assert np.all(np.diff(vals, axis=1) <= 1e-7)
 
 
+def test_streaming_topk_matches_dense(rng):
+    nk, nq, d, k = 1000, 13, 16, 7
+    key = rng.normal(size=(nk, d)).astype(np.float32)
+    query = rng.normal(size=(nq, d)).astype(np.float32)
+    dv, di = retrieval.find_matches(jnp.asarray(key), jnp.asarray(query), top_k=k)
+    sv, si = retrieval.streaming_topk(
+        jnp.asarray(key), jnp.asarray(query), top_k=k, chunk_size=128
+    )
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(dv), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(di))
+
+
+def test_streaming_topk_unpadded_chunks(rng):
+    # Nk an exact multiple of chunk_size and top_k > chunk remainder edge
+    key = rng.normal(size=(256, 8)).astype(np.float32)
+    query = rng.normal(size=(3, 8)).astype(np.float32)
+    dv, di = retrieval.find_matches(jnp.asarray(key), jnp.asarray(query), top_k=10)
+    sv, si = retrieval.streaming_topk(jnp.asarray(key), jnp.asarray(query), 10, 64)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(di))
+
+
 def test_l2_normalize_zero_safe():
     x = jnp.zeros((2, 4))
     out = np.asarray(retrieval.l2_normalize(x))
