@@ -201,7 +201,8 @@ def cmd_eval(args) -> int:
         restored = ckpt.restore_checkpoint(ckpt_dir)
         state = ckpt.apply_checkpoint(state0, restored)
         img, spot = embed.compute_embeddings(
-            model, state.params, state.batch_stats, sections, cfg.eval.batch_size
+            model, state.params, state.batch_stats, sections, cfg.eval.batch_size,
+            eval_augment=cfg.data.eval_time_augment,
         )
         if args.save_embeddings:
             out_dir = os.path.join(cfg.eval.embedding_dir,
@@ -283,6 +284,56 @@ def cmd_predict(args) -> int:
     return 0
 
 
+def cmd_baseline(args) -> int:
+    """Train + evaluate one baseline family on one fold (the comparison
+    harness the reference vendors under ``baselines/``)."""
+    from mclstexp_tpu.baselines.trainer import (
+        BaselineConfig,
+        evaluate_baseline_fold,
+        train_baseline_fold,
+        train_bleep_fold,
+    )
+    from mclstexp_tpu.utils.logging import MetricLogger
+
+    cfg = _build_config(args)
+    sections = _load_sections(cfg)
+    n_genes = sections[0].num_genes
+    bcfg = BaselineConfig(
+        model=args.baseline,
+        n_genes=n_genes,
+        patch_size=cfg.data.patch_size,
+        max_epochs=args.max_epochs,
+        lr=args.lr,
+        seed=args.seed,
+        zinb_coef=args.zinb,
+        bake=args.bake,
+        lamb=args.lamb,
+        batch_size=args.batch_size,
+        dtype=args.dtype,
+    )
+    logger = MetricLogger()
+    if args.baseline == "bleep":
+        model, state = train_bleep_fold(bcfg, sections, args.fold, logger=logger)
+        from mclstexp_tpu.baselines.trainer import bleep_embeddings
+        from mclstexp_tpu.infer import embed, evaluate
+
+        img, spot = bleep_embeddings(model, state, sections)
+        sizes = [s.num_spots for s in sections]
+        result = evaluate.evaluate_fold(
+            args.fold,
+            embed.split_by_section(img, sizes)[args.fold],
+            embed.split_by_section(spot, sizes),
+            [s.expression for s in sections],
+            top_k=50,
+            weight_ord=0,  # BLEEP simple-average retrieval
+        )
+    else:
+        model, state = train_baseline_fold(bcfg, sections, args.fold, logger=logger)
+        result = evaluate_baseline_fold(bcfg, sections, args.fold, model, state)
+    print(json.dumps(result, indent=2))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
 
@@ -318,6 +369,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--fold", type=int, required=True)
     p.add_argument("--out", type=str, default="")
     p.set_defaults(fn=cmd_predict)
+
+    p = sub.add_parser("baseline", help="train/eval a baseline family")
+    _add_model_flags(p); _add_data_flags(p)
+    p.add_argument("--baseline", type=str, required=True,
+                   choices=["histogene", "hist2st", "thitogene", "bleep"])
+    p.add_argument("--fold", type=int, default=0)
+    p.add_argument("--zinb", type=float, default=0.25)
+    p.add_argument("--bake", type=int, default=0)
+    p.add_argument("--lamb", type=float, default=0.5)
+    p.set_defaults(fn=cmd_baseline)
 
     p = sub.add_parser("bench", help="run the throughput benchmark")
     p.set_defaults(fn=cmd_bench)

@@ -89,6 +89,47 @@ def eval_batches(data: ConcatSections, batch_size: int) -> Iterator[Batch]:
         yield data.take(idx)
 
 
+def prefetch_to_device(
+    iterator: Iterator[Batch], mesh=None, size: int = 2
+) -> Iterator[Batch]:
+    """Overlap host-side batch assembly + H2D transfer with device compute.
+
+    A background thread pulls batches (numpy slicing out of the memmapped
+    patch cache is the host-side cost) and `device_put`s them ahead of the
+    consumer — the device never waits on the host once the pipeline is
+    primed. The reference's input path is fully serial with the GPU
+    (num_workers=0 DataLoader, ``train.py:49``).
+    """
+    import queue
+    import threading
+
+    import jax
+
+    from mclstexp_tpu.parallel.mesh import shard_batch
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _END = object()
+
+    def producer():
+        try:
+            for batch in iterator:
+                if mesh is not None:
+                    device_batch = shard_batch(batch, mesh)
+                else:
+                    device_batch = {k: jax.device_put(v) for k, v in batch.items()}
+                q.put(device_batch)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item
+
+
 def num_train_steps(n: int, batch_size: int, keep_remainder: bool = True) -> int:
     full = n // batch_size
     return full + (1 if keep_remainder and n % batch_size else 0)

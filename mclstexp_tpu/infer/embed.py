@@ -32,14 +32,27 @@ def compute_embeddings(
     batch_stats,
     sections: Sequence[Section],
     batch_size: int = 32,
+    eval_augment: bool = False,
+    seed: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(image_embeddings, spot_embeddings), each (sum N_i, P), section order
-    preserved. Batches of `batch_size` cross section boundaries (parity)."""
+    preserved. Batches of `batch_size` cross section boundaries (parity).
+
+    eval_augment applies the Visium inference-time random flips/rotations
+    quirk (seeded; reference ``dataset.py:316-325``)."""
+    import jax
+
     data = ConcatSections.from_sections(sections)
-    embed_fn = make_eval_embed_step(model)
+    embed_fn = make_eval_embed_step(model, eval_augment=eval_augment)
+    rng = jax.random.PRNGKey(seed)
     img_out, spot_out = [], []
-    for batch in eval_batches(data, batch_size):
-        img_emb, spot_emb = embed_fn(params, batch_stats, batch)
+    for i, batch in enumerate(eval_batches(data, batch_size)):
+        if eval_augment:
+            img_emb, spot_emb = embed_fn(
+                params, batch_stats, batch, jax.random.fold_in(rng, i)
+            )
+        else:
+            img_emb, spot_emb = embed_fn(params, batch_stats, batch)
         img_out.append(np.asarray(img_emb))
         spot_out.append(np.asarray(spot_emb))
     return np.concatenate(img_out, axis=0), np.concatenate(spot_out, axis=0)
@@ -63,9 +76,12 @@ def dump_embeddings(
     sections: Sequence[Section],
     out_dir: str,
     batch_size: int = 32,
+    eval_augment: bool = False,
 ) -> None:
     """Write the reference-compatible per-section transposed .npy files."""
-    img, spot = compute_embeddings(model, params, batch_stats, sections, batch_size)
+    img, spot = compute_embeddings(
+        model, params, batch_stats, sections, batch_size, eval_augment
+    )
     sizes = [s.num_spots for s in sections]
     os.makedirs(out_dir, exist_ok=True)
     for i, (im, sp) in enumerate(

@@ -42,7 +42,9 @@ _LUMA = jnp.array([0.299, 0.587, 0.114], dtype=jnp.float32)
 
 
 def _blend(img1: jax.Array, img2: jax.Array, ratio: jax.Array) -> jax.Array:
-    return jnp.clip(ratio * img1 + (1.0 - ratio) * img2, 0.0, 1.0)
+    ratio = jnp.asarray(ratio, img1.dtype)
+    one = jnp.asarray(1.0, img1.dtype)
+    return jnp.clip(ratio * img1 + (one - ratio) * img2, 0, 1)
 
 
 def _brightness(img: jax.Array, f: jax.Array) -> jax.Array:
@@ -51,14 +53,14 @@ def _brightness(img: jax.Array, f: jax.Array) -> jax.Array:
 
 def _contrast(img: jax.Array, f: jax.Array) -> jax.Array:
     # per-image mean of the grayscale image (torchvision semantics)
-    gray = img @ _LUMA
+    gray = img @ _LUMA.astype(img.dtype)
     axes = tuple(range(gray.ndim - 2, gray.ndim))
     gm = jnp.mean(gray, axis=axes, keepdims=True)[..., None]
-    return _blend(img, gm, f)
+    return _blend(img, gm.astype(img.dtype), f)
 
 
 def _saturation(img: jax.Array, f: jax.Array) -> jax.Array:
-    gray = (img @ _LUMA)[..., None]
+    gray = (img @ _LUMA.astype(img.dtype))[..., None]
     return _blend(img, gray, f)
 
 
@@ -156,17 +158,34 @@ def train_augment_inline(
     key: jax.Array,
     patches_u8: jax.Array,
     rot_order: int = 0,
-    per_example_order: bool = False,
+    per_example_order: bool = True,
+    dtype=jnp.float32,
 ) -> jax.Array:
-    """Traceable (un-jitted) form for fusing into a larger jitted program."""
-    imgs = patches_u8.astype(jnp.float32) / 255.0
+    """Traceable (un-jitted) form for fusing into a larger jitted program.
+
+    Default is the per-image path under one vmap (torchvision-exact
+    per-image jitter order): measured on chained v5e train steps it is
+    *faster* than the batch-level switch — under vmap the 6 orders become
+    selects fused into one elementwise pipeline, while a batch-level
+    conditional breaks XLA fusion around the whole batch tensor.
+
+    dtype: compute dtype for the augmentation math; bf16 halves the
+    bandwidth of the jitter blends and the rotation gather and is plenty of
+    precision for augmentation (pass the model's activation dtype).
+    """
+    imgs = (patches_u8.astype(dtype) / jnp.asarray(255.0, dtype)).astype(dtype)
     b = imgs.shape[0]
     k_jit, k_flip, k_rot = jax.random.split(key, 3)
     if per_example_order:
-        keys = jax.random.split(k_jit, b)
-        imgs = jax.vmap(color_jitter)(keys, imgs)
-    else:
-        imgs = color_jitter_batch(k_jit, imgs)
+        def one(k, im):
+            kj, kf, kr = jax.random.split(k, 3)
+            im = color_jitter(kj, im)
+            im = jnp.where(jax.random.bernoulli(kf, 0.5), im[:, ::-1, :], im)
+            angle = jax.random.uniform(kr, (), minval=-180.0, maxval=180.0)
+            return rotate_image(im, angle, rot_order)
+
+        return jax.vmap(one)(jax.random.split(key, b), imgs)
+    imgs = color_jitter_batch(k_jit, imgs)
     do_flip = jax.random.bernoulli(k_flip, 0.5, (b, 1, 1, 1))
     imgs = jnp.where(do_flip, imgs[:, :, ::-1, :], imgs)
     angles = jax.random.uniform(k_rot, (b,), minval=-180.0, maxval=180.0)

@@ -111,13 +111,19 @@ def _aggregate_chunk(
     weight_ord: int,
 ) -> Tuple[jax.Array, jax.Array]:
     sel_emb = jnp.take(key_emb, indices, axis=0)  # (C, K, D)
-    diff = sel_emb - query_chunk[:, None, :]
-    if weight_ord == 1:
-        d = jnp.sum(jnp.abs(diff), axis=-1)
+    if weight_ord == 0:
+        # uniform weights — BLEEP's "simple average" retrieval mode
+        # (reference BLEEP_inference.ipynb cell 5)
+        k = indices.shape[1]
+        w = jnp.full(indices.shape, 1.0 / k, jnp.float32)
     else:
-        d = jnp.sqrt(jnp.sum(jnp.square(diff), axis=-1))
-    w = 1.0 / jnp.square(d)
-    w = w / jnp.sum(w, axis=-1, keepdims=True)  # (C, K)
+        diff = sel_emb - query_chunk[:, None, :]
+        if weight_ord == 1:
+            d = jnp.sum(jnp.abs(diff), axis=-1)
+        else:
+            d = jnp.sqrt(jnp.sum(jnp.square(diff), axis=-1))
+        w = 1.0 / jnp.square(d)
+        w = w / jnp.sum(w, axis=-1, keepdims=True)  # (C, K)
     pred_emb = jnp.einsum("ck,ckd->cd", w, sel_emb, preferred_element_type=jnp.float32)
     sel_expr = jnp.take(key_expr, indices, axis=0)  # (C, K, G)
     pred_expr = jnp.einsum(
@@ -139,6 +145,8 @@ def retrieve_and_aggregate(
     key_emb (Nk, D), key_expr (Nk, G), query_emb (Nq, D) -> (Nq, D), (Nq, G).
     Replaces the reference's find_matches + per-spot Python aggregation loop
     (``evel_her2st.py:174-187``) with device-resident fused compute.
+    weight_ord: 1 = L1 1/d^2 (her2st), 2 = L2 1/d^2 (cscc/visium),
+    0 = uniform (BLEEP simple-average mode).
     """
     key_emb_j = jnp.asarray(key_emb, dtype=jnp.float32)
     key_expr_j = jnp.asarray(key_expr, dtype=jnp.float32)

@@ -18,6 +18,7 @@ from mclstexp_tpu.config import Config
 from mclstexp_tpu.data.pipeline import (
     ConcatSections,
     num_train_steps,
+    prefetch_to_device,
     split_fold,
     train_batches,
 )
@@ -83,13 +84,14 @@ def train_fold(
     watch = Stopwatch()
     for epoch in range(start_epoch, cfg.train.max_epochs):
         loss_meter = AvgMeter("train_loss")
-        for i, batch in enumerate(
-            train_batches(data, cfg.train.batch_size, cfg.train.seed, epoch)
-        ):
+        batches = prefetch_to_device(
+            train_batches(data, cfg.train.batch_size, cfg.train.seed, epoch),
+            mesh=mesh,
+        )
+        for i, device_batch in enumerate(batches):
             rng = jax.random.fold_in(base_rng, epoch * 100000 + i)
-            device_batch = shard_batch(batch, mesh)
             state, loss = step_fn(state, device_batch, rng)
-            bs = len(batch["expression"])
+            bs = len(device_batch["expression"])
             loss_meter.update(float(loss), bs)
             watch.update(bs)
             if cfg.train.log_every and (i + 1) % cfg.train.log_every == 0:

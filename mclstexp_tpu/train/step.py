@@ -33,10 +33,14 @@ def make_train_step(
     "position": (B, 2) i32}. Augmentation is part of the compiled program.
     """
 
+    aug_dtype = jnp.bfloat16 if model.config.dtype == "bfloat16" else jnp.float32
+
     def step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         aug_rng, dropout_rng = jax.random.split(rng)
         if augment_mode == "st":
-            images = augment.train_augment_inline(aug_rng, batch["image_u8"])
+            images = augment.train_augment_inline(
+                aug_rng, batch["image_u8"], dtype=aug_dtype
+            )
         elif augment_mode == "tenx":
             images = augment.tenx_augment_inline(aug_rng, batch["image_u8"])
         else:
@@ -70,14 +74,22 @@ def make_train_step(
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
-def make_eval_embed_step(model: MclSTExp) -> Callable:
+def make_eval_embed_step(model: MclSTExp, eval_augment: bool = False) -> Callable:
     """Jitted embedding step for the dump phase (reference
-    ``evel_her2st.py:44-70``): float images (no augmentation), batch-as-
-    sequence spot tower, both projections. Returns (image_emb, spot_emb)."""
+    ``evel_her2st.py:44-70``): float images, batch-as-sequence spot tower,
+    both projections. Returns (image_emb, spot_emb).
 
-    def embed(params, batch_stats, batch: Dict[str, jax.Array]):
+    eval_augment=True applies the TenxDataset random flips/rotations at
+    inference — the Visium parity quirk (reference ``dataset.py:316-325``
+    always transforms, and ``evel_visium.py:19-31`` consumes it as-is).
+    """
+
+    def embed(params, batch_stats, batch: Dict[str, jax.Array], rng=None):
         variables = {"params": params, "batch_stats": batch_stats}
-        images = batch["image_u8"].astype(jnp.float32) / 255.0
+        if eval_augment:
+            images = augment.tenx_augment_inline(rng, batch["image_u8"])
+        else:
+            images = batch["image_u8"].astype(jnp.float32) / 255.0
         model_batch = {
             "image": images,
             "expression": batch["expression"],

@@ -212,6 +212,25 @@ def test_histogene_training_learns(tmp_path):
     assert pred.shape == (24, 12)
 
 
+def test_hist2st_training_step_with_zinb_and_bake():
+    """One Hist2ST slide step incl. ZINB aux loss and bake distillation."""
+    from mclstexp_tpu.baselines.trainer import init_baseline, make_slide_step
+
+    sections = synthetic.make_dataset(num_sections=2, num_spots=10, num_genes=8,
+                                      patch_size=14, seed=5)
+    cfg = BaselineConfig(model="hist2st", n_genes=8, patch_size=14, bucket=16,
+                         zinb_coef=0.25, bake=2, lamb=0.5, lr=1e-4, max_epochs=1)
+    # hist2st dims: fig 14 / patch 7 -> (2*2)*32//8 = 16-d tokens
+    model, state = init_baseline(cfg, sections[0])
+    step = make_slide_step(model, cfg)
+    batch = {k: jnp.asarray(v) for k, v in
+             pad_slide(sections[0], 16, with_adj=True, cfg=cfg).items()}
+    state, loss = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    state, loss2 = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss2))
+
+
 def test_pad_slide_shapes():
     sections = synthetic.make_dataset(num_sections=1, num_spots=10, num_genes=6,
                                       patch_size=8)
