@@ -41,20 +41,47 @@ def compute_embeddings(
     eval_augment applies the Visium inference-time random flips/rotations
     quirk (seeded; reference ``dataset.py:316-325``)."""
     import jax
+    import jax.numpy as jnp
 
     data = ConcatSections.from_sections(sections)
-    embed_fn = make_eval_embed_step(model, eval_augment=eval_augment)
     rng = jax.random.PRNGKey(seed)
+
+    # Spot tower at exactly `batch_size` (each batch is one attention
+    # sequence — parity-load-bearing). The image tower is per-spot
+    # independent at eval, so it runs at a large batch for MXU utilization;
+    # its outputs are bitwise independent of batching (BN in inference mode).
+    @jax.jit
+    def spot_fn(params, batch_stats, expression, position):
+        variables = {"params": params, "batch_stats": batch_stats}
+        return model.apply(
+            variables, expression, position, method=type(model).encode_spots
+        )
+
+    @jax.jit
+    def image_fn(params, batch_stats, images):
+        variables = {"params": params, "batch_stats": batch_stats}
+        return model.apply(variables, images, method=type(model).encode_image)
+
+    if eval_augment:
+        from mclstexp_tpu.ops.augment import tenx_augment
+
     img_out, spot_out = [], []
-    for i, batch in enumerate(eval_batches(data, batch_size)):
+    image_bs = max(batch_size, 256)
+    for i, batch in enumerate(eval_batches(data, image_bs)):
         if eval_augment:
-            img_emb, spot_emb = embed_fn(
-                params, batch_stats, batch, jax.random.fold_in(rng, i)
-            )
+            images = tenx_augment(jax.random.fold_in(rng, i), jnp.asarray(batch["image_u8"]))
         else:
-            img_emb, spot_emb = embed_fn(params, batch_stats, batch)
-        img_out.append(np.asarray(img_emb))
-        spot_out.append(np.asarray(spot_emb))
+            images = jnp.asarray(batch["image_u8"]).astype(jnp.float32) / 255.0
+        img_out.append(np.asarray(image_fn(params, batch_stats, images)))
+    for batch in eval_batches(data, batch_size):
+        spot_out.append(
+            np.asarray(
+                spot_fn(
+                    params, batch_stats,
+                    jnp.asarray(batch["expression"]), jnp.asarray(batch["position"]),
+                )
+            )
+        )
     return np.concatenate(img_out, axis=0), np.concatenate(spot_out, axis=0)
 
 
