@@ -58,6 +58,7 @@ class SpotViT(nn.Module):
     mlp_dim: int
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
+    backend: str = "xla"  # "flash" streams whole-slide sequences on TPU
 
     @nn.compact
     def __call__(
@@ -67,7 +68,7 @@ class SpotViT(nn.Module):
         for i in range(self.depth):
             x = AttnBlock(
                 self.dim, self.heads, 64, self.mlp_dim, self.dropout, self.dtype,
-                name=f"block{i}",
+                self.backend, name=f"block{i}",
             )(x, deterministic, mask)
         return x
 
@@ -81,6 +82,7 @@ class HisToGene(nn.Module):
     n_pos: int = 64
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
+    attn_backend: str = "xla"
 
     @nn.compact
     def __call__(
@@ -96,7 +98,7 @@ class HisToGene(nn.Module):
         x = x + PositionTables(self.n_pos, self.dim, name="pos")(positions)
         x = SpotViT(
             self.dim, self.n_layers, self.heads, 2 * self.dim, self.dropout,
-            self.dtype, name="vit",
+            self.dtype, self.attn_backend, name="vit",
         )(x[None], deterministic=not train, mask=mask)[0]
         x = LayerNormT(dtype=self.dtype, name="head_norm")(x)
         return DenseT(self.n_genes, dtype=self.dtype, name="gene_head")(x).astype(
@@ -119,6 +121,7 @@ class Hist2ST(nn.Module):
     zinb: bool = True  # emit ZINB heads
     nb: bool = False  # NB parameterization instead of ZINB
     dtype: Dtype = jnp.float32
+    attn_backend: str = "xla"
 
     @property
     def dim(self) -> int:
@@ -149,7 +152,8 @@ class Hist2ST(nn.Module):
 
         ct = PositionTables(self.n_pos, dim, name="pos")(positions)
         g = SpotViT(
-            dim, self.depth2, self.heads, dim, self.dropout, self.dtype, name="vit"
+            dim, self.depth2, self.heads, dim, self.dropout, self.dtype,
+            self.attn_backend, name="vit",
         )((g + ct)[None], deterministic=not train, mask=mask)[0]
 
         # GraphSAGE stack with LSTM jump-knowledge over the depth outputs
@@ -195,6 +199,7 @@ class THItoGene(nn.Module):
     n_pos: int = 64
     dropout: float = 0.2
     dtype: Dtype = jnp.float32
+    attn_backend: str = "xla"
 
     @nn.compact
     def __call__(
@@ -228,7 +233,7 @@ class THItoGene(nn.Module):
 
         seq = SpotViT(
             (self.caps + 2) * self.route_dim, self.n_layers, self.heads[0],
-            2 * self.dim, self.dropout, self.dtype, name="vit",
+            2 * self.dim, self.dropout, self.dtype, self.attn_backend, name="vit",
         )(seq, deterministic=not train, mask=mask)[0]
 
         g = MultiHeadGAT(

@@ -77,6 +77,17 @@ def gelu_exact(x: jax.Array) -> jax.Array:
     return jax.nn.gelu(x, approximate=False)
 
 
+def _flash_supported(seq_len: int, dim_head: int) -> bool:
+    """The official kernel needs a TPU backend and block-aligned shapes."""
+    try:
+        import jax.extend.backend as jeb
+
+        on_tpu = jeb.get_backend().platform == "tpu"
+    except Exception:
+        on_tpu = False
+    return on_tpu and seq_len % 128 == 0 and dim_head >= 64
+
+
 class LayerNormT(nn.Module):
     """LayerNorm with torch semantics (eps=1e-5, fp32 statistics)."""
 
@@ -102,6 +113,12 @@ class MultiHeadSelfAttention(nn.Module):
     Matches reference ``model.py:35-57``: fused qkv projection without bias,
     per-head scale ``dim_head**-0.5``, output projection (present whenever
     heads != 1 or dim_head != dim).
+
+    backend="flash" uses the official Pallas TPU flash-attention kernel
+    (online softmax, no materialized (n, n) matrix) when running on TPU
+    with a block-aligned sequence — the memory-bound win for whole-slide
+    spot sequences; everything else falls back to the fused-XLA path,
+    which is optimal at the contrastive model's tiny sequence lengths.
     """
 
     dim: int
@@ -109,6 +126,7 @@ class MultiHeadSelfAttention(nn.Module):
     dim_head: int = 64
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
+    backend: str = "xla"  # "xla" | "flash"
 
     @nn.compact
     def __call__(
@@ -127,16 +145,38 @@ class MultiHeadSelfAttention(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, h, d)
 
         scale = d**-0.5
-        # (b, h, n, n) logits in fp32 for a stable softmax.
-        logits = jnp.einsum(
-            "bihd,bjhd->bhij", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        if mask is not None:
-            # mask: (b, n) or (n,) key-validity — padded tokens get no weight
-            key_mask = jnp.broadcast_to(mask, (b, n))[:, None, None, :]
-            logits = jnp.where(key_mask, logits, -1e30)
-        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhij,bjhd->bihd", attn, v, preferred_element_type=self.dtype)
+        if self.backend == "flash" and _flash_supported(n, d):
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                SegmentIds,
+                flash_attention,
+            )
+
+            seg = None
+            if mask is not None:
+                # padded tokens get a different segment id: no attention
+                # crosses the real/pad boundary in either direction
+                m = jnp.broadcast_to(mask, (b, n)).astype(jnp.int32)
+                seg = SegmentIds(q=m, kv=m)
+            out = flash_attention(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                segment_ids=seg,
+                sm_scale=scale,
+            ).transpose(0, 2, 1, 3)
+        else:
+            # (b, h, n, n) logits in fp32 for a stable softmax.
+            logits = jnp.einsum(
+                "bihd,bjhd->bhij", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            if mask is not None:
+                # mask: (b, n) or (n,) key-validity — padded tokens get no weight
+                key_mask = jnp.broadcast_to(mask, (b, n))[:, None, None, :]
+                logits = jnp.where(key_mask, logits, -1e30)
+            attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum(
+                "bhij,bjhd->bihd", attn, v, preferred_element_type=self.dtype
+            )
         out = out.reshape(b, n, inner)
         if project_out:
             out = DenseT(self.dim, dtype=self.dtype, name="to_out")(out)
@@ -174,6 +214,7 @@ class AttnBlock(nn.Module):
     mlp_dim: int
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
+    backend: str = "xla"
 
     @nn.compact
     def __call__(
@@ -184,7 +225,8 @@ class AttnBlock(nn.Module):
     ) -> jax.Array:
         h = LayerNormT(dtype=self.dtype, name="norm_attn")(x)
         h = MultiHeadSelfAttention(
-            self.dim, self.heads, self.dim_head, self.dropout, self.dtype, name="attn"
+            self.dim, self.heads, self.dim_head, self.dropout, self.dtype,
+            self.backend, name="attn",
         )(h, deterministic, mask)
         x = x + h
         h = LayerNormT(dtype=self.dtype, name="norm_ff")(x)
