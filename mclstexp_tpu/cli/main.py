@@ -55,6 +55,8 @@ def _add_data_flags(p: argparse.ArgumentParser):
     p.add_argument("--preprocessed-root", type=str,
                    default="data/preprocessed_expression_matrices")
     p.add_argument("--patch-cache", type=str, default="patch_cache")
+    p.add_argument("--patch-size", type=int, default=224,
+                   help="224 for the contrastive model; 112 for the slide baselines")
     p.add_argument("--checkpoint-dir", type=str, default="model_result")
 
 
@@ -90,6 +92,7 @@ def _build_config(args) -> "Config":
         gene_panel=args.gene_panel,
         preprocessed_root=getattr(args, "preprocessed_root", cfg.data.preprocessed_root),
         patch_cache_dir=args.patch_cache,
+        patch_size=getattr(args, "patch_size", cfg.data.patch_size),
     )
     return dataclasses.replace(cfg, model=model, train=train, data=data)
 

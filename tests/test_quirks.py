@@ -1,0 +1,112 @@
+"""Tests pinning the reference's behavioral quirks (SURVEY §7 quirk policy).
+
+These exist so a refactor can't silently "fix" behavior that the published
+protocol depends on.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mclstexp_tpu.config import ModelConfig
+from mclstexp_tpu.models.mclstexp import MclSTExp
+
+TINY = ModelConfig(
+    encoder_name="tiny_cnn", image_dim=128, spot_dim=16, projection_dim=8,
+    heads_num=2, heads_dim=4, head_layers=1, pos_vocab=64,
+)
+
+
+def _batch(rng, n=8):
+    return {
+        "image": jnp.asarray(rng.uniform(size=(n, 16, 16, 3)).astype(np.float32)),
+        "expression": jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32)),
+        "position": jnp.asarray(rng.integers(0, 64, size=(n, 2)).astype(np.int32)),
+    }
+
+
+def test_spot_embeddings_depend_on_batch_composition(rng):
+    """The batch-as-sequence quirk (reference model.py:236): a spot's
+    embedding CHANGES when its batchmates change — eval batching is
+    therefore part of the model's semantics."""
+    model = MclSTExp(TINY)
+    batch = _batch(rng, 8)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+
+    full = model.apply(
+        variables, batch["expression"], batch["position"], method=MclSTExp.encode_spots
+    )
+    half = model.apply(
+        variables, batch["expression"][:4], batch["position"][:4],
+        method=MclSTExp.encode_spots,
+    )
+    # same spots, different batchmates -> different embeddings
+    assert not np.allclose(np.asarray(full[:4]), np.asarray(half), atol=1e-5)
+
+
+def test_image_embeddings_independent_of_batch(rng):
+    """The image tower has no cross-batch mixing at eval (BN in inference
+    mode) — this is what allows the large-batch image tower at eval."""
+    model = MclSTExp(TINY)
+    batch = _batch(rng, 8)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    full = model.apply(variables, batch["image"], method=MclSTExp.encode_image)
+    half = model.apply(variables, batch["image"][:4], method=MclSTExp.encode_image)
+    np.testing.assert_allclose(np.asarray(full[:4]), np.asarray(half), atol=1e-5)
+
+
+def test_infonce_uses_unnormalized_embeddings(rng):
+    """The reference calls the logit matrix 'cos_smi' but never normalizes
+    (model.py:242); scaling one tower must change the loss."""
+    from mclstexp_tpu.core.losses import symmetric_infonce
+
+    spot = jnp.asarray(rng.normal(size=(6, 4)).astype(np.float32))
+    img = jnp.asarray(rng.normal(size=(6, 4)).astype(np.float32))
+    a = float(symmetric_infonce(spot, img, 1.0))
+    b = float(symmetric_infonce(spot * 3.0, img, 1.0))
+    assert abs(a - b) > 1e-4
+
+
+def test_retrieval_distances_on_unnormalized_embeddings(rng):
+    """find_matches normalizes internally, but the 1/d^2 weights use the
+    raw embeddings (evel_her2st.py:178 operates on the originals)."""
+    from mclstexp_tpu.ops.retrieval import retrieve_and_aggregate
+
+    key = rng.normal(size=(50, 8)).astype(np.float32)
+    expr = rng.normal(size=(50, 5)).astype(np.float32)
+    query = rng.normal(size=(4, 8)).astype(np.float32)
+    _, p1 = retrieve_and_aggregate(key, expr, query, top_k=5, weight_ord=2)
+    # scaling keys changes distances (hence weights) even though the
+    # retrieved indices are scale-invariant
+    _, p2 = retrieve_and_aggregate(key * 2.0, expr, query, top_k=5, weight_ord=2)
+    assert not np.allclose(p1, p2, atol=1e-7)
+
+
+def test_eval_batches_cross_section_boundaries():
+    """ConcatDataset semantics (evel_her2st.py:15-27): batch boundaries do
+    not align to sections, so one eval batch can span two sections."""
+    from mclstexp_tpu.data import synthetic
+    from mclstexp_tpu.data.pipeline import ConcatSections, eval_batches
+
+    sections = synthetic.make_dataset(num_sections=2, num_spots=20, num_genes=4)
+    data = ConcatSections.from_sections(sections)
+    batches = list(eval_batches(data, 16))
+    # batch 1 = spots 16..31: 4 from section 0, 12 from section 1
+    np.testing.assert_array_equal(
+        batches[1]["expression"][:4], sections[0].expression[16:]
+    )
+    np.testing.assert_array_equal(
+        batches[1]["expression"][4:], sections[1].expression[:12]
+    )
+
+
+def test_her2st_fold_convention():
+    """Held-out section = sorted names[1:33][fold] (dataset.py:161-167)."""
+    from mclstexp_tpu.data.pipeline import split_fold
+    from mclstexp_tpu.data import synthetic
+
+    sections = synthetic.make_dataset(num_sections=4, num_spots=4, num_genes=4)
+    for fold in range(4):
+        _, test = split_fold(sections, fold)
+        assert test.name == sections[fold].name
