@@ -35,7 +35,19 @@ STEPS = 20
 
 
 def main():
+    import os
+
     import jax
+
+    # Persistent compilation cache: remote-tunnel compiles of this program
+    # vary 60-500s run-to-run; a warm cache makes repeat benches immediate.
+    cache_dir = os.environ.get("MCLSTEXP_JAX_CACHE", "/root/repo/.jax_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception as e:  # cache is best-effort
+        print(f"compilation cache unavailable: {e}", file=sys.stderr)
 
     from mclstexp_tpu.config import Config, DataConfig, EvalConfig, ModelConfig, TrainConfig
     from mclstexp_tpu.train.state import create_train_state

@@ -19,7 +19,7 @@ All params fp32; compute dtype selectable.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -174,8 +174,6 @@ def cmd_train(args) -> int:
 def cmd_eval(args) -> int:
     """Full LOO protocol: per-fold embedding dump + retrieval metrics
     (the reference ``evel_*.py`` flow), printing the same four averages."""
-    import jax
-
     cfg = _build_config(args)
     from mclstexp_tpu.data.pipeline import ConcatSections
     from mclstexp_tpu.infer import embed, evaluate

@@ -8,7 +8,7 @@ predicted expression against pathologist annotations (ARI/NMI).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -16,14 +16,13 @@ stored transposed (P, N_i) per section (``evel_her2st.py:109-117``).
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 
 from mclstexp_tpu.data.pipeline import ConcatSections, eval_batches
 from mclstexp_tpu.data.section import Section
 from mclstexp_tpu.models.mclstexp import MclSTExp
-from mclstexp_tpu.train.step import make_eval_embed_step
 
 
 def compute_embeddings(

@@ -9,7 +9,7 @@ running stats, i.e. flax momentum 0.9).
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,14 +18,13 @@ each 1x1 conv is a single MXU matmul over H*W rows.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from mclstexp_tpu.models.image.common import (
-    ConvBN,
     conv_kaiming_init,
     global_avg_pool,
     max_pool_3x3_s2,

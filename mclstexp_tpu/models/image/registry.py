@@ -6,7 +6,7 @@ Mirrors the reference's string-dispatched encoder selection
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

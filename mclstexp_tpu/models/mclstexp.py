@@ -12,7 +12,7 @@ for training (jitted loss+grad), embedding dumps, and sharded inference.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

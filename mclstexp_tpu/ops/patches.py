@@ -14,8 +14,6 @@ for border spots). We implement zero-padding uniformly.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

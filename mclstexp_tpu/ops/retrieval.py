@@ -20,7 +20,7 @@ HER2ST (``evel_her2st.py:178``), L2 for cSCC/Visium (``evel_cscc.py:209``,
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ Used via `ring_self_attention` inside `shard_map` (see tests for the
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -15,7 +15,7 @@ as numpy for the converter in ``models/image/torch_import.py``.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import numpy as np

@@ -23,7 +23,7 @@ from mclstexp_tpu.data.pipeline import (
     train_batches,
 )
 from mclstexp_tpu.data.section import Section
-from mclstexp_tpu.parallel.mesh import make_mesh, shard_batch
+from mclstexp_tpu.parallel.mesh import make_mesh
 from mclstexp_tpu.train import checkpoint as ckpt
 from mclstexp_tpu.train.state import TrainState, create_train_state
 from mclstexp_tpu.train.step import make_train_step

@@ -10,8 +10,7 @@ into one backward pass, and the Adam update donates the state buffers.
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ import contextlib
 import json
 import os
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Optional
 
 
 class MetricLogger:
