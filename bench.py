@@ -79,14 +79,10 @@ def main():
         "position": host_batch["position"][:1],
     }
 
-    # Initialize on the host CPU backend and transfer: the remote-compile
-    # path for the (one-shot) init program is far slower than the transfer.
+    # create_train_state initializes on the host CPU and transfers once
+    # (remote-TPU init is pathological; see train/state.py).
     t0 = time.perf_counter()
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
-        model, state = create_train_state(cfg.model, cfg.train, sample)
-    state = jax.device_put(state, dev)
-    jax.block_until_ready(state.params)
+    model, state = create_train_state(cfg.model, cfg.train, sample)
     print(f"init+transfer: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     step_fn = make_train_step(model, augment_mode="st", donate=True)

@@ -211,13 +211,23 @@ def init_baseline(
     args = (patches, batch["positions"][: cfg.bucket])
     if cfg.model in ("hist2st", "thitogene"):
         args = args + (batch["adj"][: cfg.bucket, : cfg.bucket],)
-    if cfg.model == "bleep":
-        variables = model.init(
-            {"params": rng, "dropout": rng},
-            {"image": patches[:2], "expression": batch["expression"][:2]},
-        )
+
+    def _init():
+        if cfg.model == "bleep":
+            return model.init(
+                {"params": rng, "dropout": rng},
+                {"image": patches[:2], "expression": batch["expression"][:2]},
+            )
+        return model.init({"params": rng, "dropout": rng}, *args)
+
+    # unjitted flax init on a remote TPU transport is pathological —
+    # init on the host CPU and transfer once (see train/state.py)
+    default_platform = jax.local_devices()[0].platform
+    if default_platform != "cpu":
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            variables = _init()
     else:
-        variables = model.init({"params": rng, "dropout": rng}, *args)
+        variables = _init()
     tx = torch_adam(cfg.lr, cfg.weight_decay)
     params = variables["params"]
     state = TrainState(
@@ -227,6 +237,9 @@ def init_baseline(
         opt_state=tx.init(params),
         tx=tx,
     )
+    if default_platform != "cpu":
+        state = jax.device_put(state, jax.local_devices()[0])
+        jax.block_until_ready(state.params)
     return model, state
 
 

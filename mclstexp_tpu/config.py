@@ -53,6 +53,8 @@ class TrainConfig:
     donate: bool = True
     mesh_shape: Optional[Tuple[int, ...]] = None  # None -> 1D data mesh over all devices
     mesh_axes: Tuple[str, ...] = ("data",)
+    # Datasets up to this size live in HBM; larger ones stream with prefetch.
+    device_data_budget_bytes: int = 4 * 1024**3
 
 
 @dataclasses.dataclass(frozen=True)

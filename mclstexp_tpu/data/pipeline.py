@@ -89,6 +89,84 @@ def eval_batches(data: ConcatSections, batch_size: int) -> Iterator[Batch]:
         yield data.take(idx)
 
 
+class DeviceResidentData:
+    """The training set resident in HBM; batches are on-device gathers.
+
+    Streaming 128 x 224² uint8 patches per step costs ~19 MB of H2D per
+    batch; at reference scale the whole training set is only ~0.2-2 GB, so
+    it lives in HBM once and the host sends 128 int32 indices per step.
+    Under a mesh the source arrays are replicated and the gathered batch is
+    sharded on the data axis (GSPMD handles the scatter).
+    """
+
+    def __init__(self, data: ConcatSections, mesh=None):
+        import jax
+        import jax.numpy as jnp
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            put = lambda x: jax.device_put(x, rep)
+        else:
+            put = jax.device_put
+        self._mesh = mesh
+        self.n = len(data)
+        self.patches = put(np.ascontiguousarray(data.patches))
+        self.expression = put(data.expression)
+        self.positions = put(data.positions)
+
+        @jax.jit
+        def gather(patches, expression, positions, idx):
+            return {
+                "image_u8": jnp.take(patches, idx, axis=0),
+                "expression": jnp.take(expression, idx, axis=0),
+                "position": jnp.take(positions, idx, axis=0),
+            }
+
+        self._gather = gather
+
+    def nbytes(self) -> int:
+        return (
+            self.patches.nbytes + self.expression.nbytes + self.positions.nbytes
+        )
+
+    def take(self, idx: np.ndarray) -> Batch:
+        import jax
+
+        if self._mesh is not None:
+            from mclstexp_tpu.parallel.mesh import batch_sharding, replicated
+
+            n_shards = self._mesh.shape.get("data", 1)
+            sharding = (
+                batch_sharding(self._mesh)
+                if len(idx) % n_shards == 0
+                else replicated(self._mesh)
+            )
+            idx_dev = jax.device_put(np.asarray(idx, np.int32), sharding)
+        else:
+            idx_dev = jax.device_put(np.asarray(idx, np.int32))
+        return self._gather(self.patches, self.expression, self.positions, idx_dev)
+
+
+def device_train_batches(
+    device_data: DeviceResidentData,
+    batch_size: int,
+    seed: int,
+    epoch: int,
+    keep_remainder: bool = True,
+) -> Iterator[Batch]:
+    """train_batches over an HBM-resident dataset (host sends indices only)."""
+    n = device_data.n
+    rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+    order = rng.permutation(n)
+    full = n - (n % batch_size)
+    for start in range(0, full, batch_size):
+        yield device_data.take(order[start : start + batch_size])
+    if keep_remainder and full < n:
+        yield device_data.take(order[full:])
+
+
 def prefetch_to_device(
     iterator: Iterator[Batch], mesh=None, size: int = 2
 ) -> Iterator[Batch]:

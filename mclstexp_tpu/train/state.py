@@ -53,11 +53,30 @@ def create_train_state(
     train_cfg: TrainConfig,
     sample_batch: Dict[str, jax.Array],
     rng: Optional[jax.Array] = None,
+    init_on_host: bool = True,
 ) -> tuple[MclSTExp, TrainState]:
-    """Initialize the flagship model and its optimizer state."""
+    """Initialize the flagship model and its optimizer state.
+
+    Initialization runs on the host CPU backend by default and the state is
+    transferred once: flax's (unjitted) init dispatches thousands of small
+    ops, which is pathological over a remote-TPU transport, and param shapes
+    don't depend on the device anyway. Shrink `sample_batch` to one example
+    for the same reason.
+    """
     model = MclSTExp(model_cfg)
     rng = rng if rng is not None else jax.random.PRNGKey(train_cfg.seed)
-    variables = model.init({"params": rng, "dropout": rng}, sample_batch, train=False)
+
+    def _init():
+        return model.init({"params": rng, "dropout": rng}, sample_batch, train=False)
+
+    default_platform = jax.local_devices()[0].platform
+    if init_on_host and default_platform != "cpu":
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            variables = _init()
+    else:
+        variables = _init()
+
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = torch_adam(train_cfg.lr, train_cfg.weight_decay)
@@ -68,4 +87,7 @@ def create_train_state(
         opt_state=tx.init(params),
         tx=tx,
     )
+    if init_on_host and default_platform != "cpu":
+        state = jax.device_put(state, jax.local_devices()[0])
+        jax.block_until_ready(state.params)
     return model, state
