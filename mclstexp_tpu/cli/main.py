@@ -194,6 +194,7 @@ def cmd_eval(args) -> int:
     model, state0 = create_train_state(cfg.model, cfg.train, sample)
 
     folds = [args.fold] if args.fold is not None else list(range(len(sections)))
+    prepared = embed.prepare_eval_arrays(sections)  # one H2D for all folds
     img_per_fold, spot_per_fold = {}, {}
     for fold in folds:
         ckpt_dir = ckpt.fold_checkpoint_dir(
@@ -203,7 +204,7 @@ def cmd_eval(args) -> int:
         state = ckpt.apply_checkpoint(state0, restored)
         img, spot = embed.compute_embeddings(
             model, state.params, state.batch_stats, sections, cfg.eval.batch_size,
-            eval_augment=cfg.data.eval_time_augment,
+            eval_augment=cfg.data.eval_time_augment, prepared=prepared,
         )
         if args.save_embeddings:
             out_dir = os.path.join(cfg.eval.embedding_dir,

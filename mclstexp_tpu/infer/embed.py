@@ -15,14 +15,33 @@ stored transposed (P, N_i) per section (``evel_her2st.py:109-117``).
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import List, Sequence, Tuple
 
 import numpy as np
 
-from mclstexp_tpu.data.pipeline import ConcatSections, eval_batches
+from mclstexp_tpu.data.pipeline import ConcatSections
 from mclstexp_tpu.data.section import Section
 from mclstexp_tpu.models.mclstexp import MclSTExp
+
+
+def prepare_eval_arrays(sections: Sequence[Section]):
+    """Upload the concatenated eval arrays to HBM once.
+
+    The LOO protocol embeds the SAME sections under every fold's checkpoint
+    (reference ``evel_her2st.py:129-133``); preparing once saves a several-
+    hundred-MB H2D transfer per fold. Returns an opaque handle for
+    `compute_embeddings(prepared=...)`."""
+    import jax
+
+    data = ConcatSections.from_sections(sections)
+    return {
+        "n": len(data),
+        "patches": jax.device_put(np.ascontiguousarray(data.patches)),
+        "expression": jax.device_put(data.expression),
+        "positions": jax.device_put(data.positions),
+    }
 
 
 def compute_embeddings(
@@ -33,6 +52,7 @@ def compute_embeddings(
     batch_size: int = 32,
     eval_augment: bool = False,
     seed: int = 0,
+    prepared=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(image_embeddings, spot_embeddings), each (sum N_i, P), section order
     preserved. Batches of `batch_size` cross section boundaries (parity).
@@ -40,48 +60,85 @@ def compute_embeddings(
     eval_augment applies the Visium inference-time random flips/rotations
     quirk (seeded; reference ``dataset.py:316-325``)."""
     import jax
-    import jax.numpy as jnp
 
-    data = ConcatSections.from_sections(sections)
     rng = jax.random.PRNGKey(seed)
+    if prepared is None:
+        prepared = prepare_eval_arrays(sections)
+    n = prepared["n"]
+    patches_dev = prepared["patches"]
+    expr_dev = prepared["expression"]
+    pos_dev = prepared["positions"]
 
     # Spot tower at exactly `batch_size` (each batch is one attention
     # sequence — parity-load-bearing). The image tower is per-spot
     # independent at eval, so it runs at a large batch for MXU utilization;
     # its outputs are bitwise independent of batching (BN in inference mode).
-    @jax.jit
-    def spot_fn(params, batch_stats, expression, position):
-        variables = {"params": params, "batch_stats": batch_stats}
-        return model.apply(
-            variables, expression, position, method=type(model).encode_spots
-        )
+    #
+    # The full sweep is ONE jitted lax.scan over batches (per-batch host
+    # dispatches cost a transport round trip each); the remainder batch is
+    # part of the same program. The jitted sweep is cached per (model,
+    # eval_augment) so repeated dumps (the per-fold eval loop) don't
+    # re-trace.
+    sweep = _make_sweep(model, eval_augment)
+    image_bs = max(batch_size, 256)
+    img = sweep(params, batch_stats, (patches_dev,), n, image_bs, "image", rng)
+    spot = sweep(params, batch_stats, (expr_dev, pos_dev), n, batch_size, "spot", rng)
+    return np.asarray(img), np.asarray(spot)
 
-    @jax.jit
-    def image_fn(params, batch_stats, images):
+
+@functools.lru_cache(maxsize=8)
+def _make_sweep(model, eval_augment: bool):
+    import jax
+    import jax.numpy as jnp
+
+    def spot_encode(params, batch_stats, e, p):
         variables = {"params": params, "batch_stats": batch_stats}
+        return model.apply(variables, e, p, method=type(model).encode_spots)
+
+    def image_encode(params, batch_stats, u8, aug_rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if eval_augment:
+            from mclstexp_tpu.ops.augment import tenx_augment_inline
+
+            images = tenx_augment_inline(aug_rng, u8)
+        else:
+            images = u8.astype(jnp.float32) / 255.0
         return model.apply(variables, images, method=type(model).encode_image)
 
-    if eval_augment:
-        from mclstexp_tpu.ops.augment import tenx_augment
+    @functools.partial(jax.jit, static_argnames=("n", "bs", "tower"))
+    def sweep(params, batch_stats, arrays, n, bs, tower, rng):
+        full = n - (n % bs)
+        n_batches = full // bs
 
-    img_out, spot_out = [], []
-    image_bs = max(batch_size, 256)
-    for i, batch in enumerate(eval_batches(data, image_bs)):
-        if eval_augment:
-            images = tenx_augment(jax.random.fold_in(rng, i), jnp.asarray(batch["image_u8"]))
-        else:
-            images = jnp.asarray(batch["image_u8"]).astype(jnp.float32) / 255.0
-        img_out.append(np.asarray(image_fn(params, batch_stats, images)))
-    for batch in eval_batches(data, batch_size):
-        spot_out.append(
-            np.asarray(
-                spot_fn(
-                    params, batch_stats,
-                    jnp.asarray(batch["expression"]), jnp.asarray(batch["position"]),
+        def body(i, _):
+            take = lambda a: jax.lax.dynamic_slice_in_dim(a, i * bs, bs, 0)
+            if tower == "spot":
+                out = spot_encode(params, batch_stats, take(arrays[0]), take(arrays[1]))
+            else:
+                out = image_encode(
+                    params, batch_stats, take(arrays[0]), jax.random.fold_in(rng, i)
                 )
+            return i + 1, out
+
+        if n_batches > 0:
+            _, full_out = jax.lax.scan(body, 0, None, length=n_batches)
+            full_out = full_out.reshape(full, -1)
+        else:
+            full_out = None
+        if full == n:
+            return full_out
+        rem = lambda a: jax.lax.dynamic_slice_in_dim(a, full, n - full, 0)
+        if tower == "spot":
+            rem_out = spot_encode(params, batch_stats, rem(arrays[0]), rem(arrays[1]))
+        else:
+            rem_out = image_encode(
+                params, batch_stats, rem(arrays[0]), jax.random.fold_in(rng, n_batches)
             )
-        )
-    return np.concatenate(img_out, axis=0), np.concatenate(spot_out, axis=0)
+        if full_out is None:
+            return rem_out
+        return jnp.concatenate([full_out, rem_out], axis=0)
+
+    return sweep
 
 
 def split_by_section(
