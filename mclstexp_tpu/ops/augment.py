@@ -20,11 +20,14 @@ Conventions match torchvision:
     zero fill (torchvision RandomRotation defaults), positive = CCW;
   * outputs are float in [0, 1] (ToTensor), NHWC.
 
-Performance note (v5e, measured on chained train steps): rotation as a
-vmapped per-pixel 2-D gather is the fastest formulation XLA produces here;
-a shear-decomposed variant (rot90 + per-row dynamic slices) compiled to
-~6x slower code, and per-image `lax.switch` under vmap evaluates all six
-jitter orders for every image.
+Performance note (v5e, measured on chained v5e programs, B=128 224x224):
+the rotation gather dominates augmentation cost and its formulation matters
+enormously. A per-image 2-D gather under `vmap` costs 62 ms; the same
+nearest-neighbor sampling as ONE batch-level 1-D `jnp.take` over globally
+flattened (B*H*W) indices costs 30 ms (`rotate_batch`); shear-decomposed
+variants with `take_along_axis` or per-row dynamic slices are 3-6x slower.
+Folding the horizontal flip into the rotation's source indices removes a
+further full-tensor select pass. Jitter is cheap (~4 ms) in every form.
 
 The Visium eval-time quirk (reference ``dataset.py:316-325``: random
 h/v-flips + 90° rotations even at inference) is `tenx_augment`.
@@ -154,6 +157,50 @@ def rotate_image(
     return top * (1 - dy) + bot * dy
 
 
+def rotate_batch(
+    imgs: jax.Array,
+    angles_deg: jax.Array,
+    hflip: jax.Array | None = None,
+    order: int = 0,
+) -> jax.Array:
+    """Rotate a (B, H, W, C) batch about image centers; zero fill outside.
+
+    Same nearest-neighbor inverse-map sampling as `rotate_image` (positive =
+    CCW, torchvision RandomRotation semantics), but formulated as ONE
+    batch-level gather over globally flattened indices — 2x faster on TPU
+    than the vmapped per-image 2-D gather (see module docstring).
+
+    hflip: optional (B,) bool — applies a horizontal flip *before* the
+    rotation by mirroring the source-x indices (exactly `rotate(flip(im))`),
+    for free. order=1 (bilinear) falls back to the vmapped per-image path.
+    """
+    b, h, w = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+    if order != 0:
+        flipped = imgs if hflip is None else jnp.where(
+            hflip[:, None, None, None], imgs[:, :, ::-1, :], imgs
+        )
+        return jax.vmap(lambda im, a: rotate_image(im, a, order))(flipped, angles_deg)
+    theta = angles_deg * (jnp.pi / 180.0)
+    cos, sin = jnp.cos(theta), jnp.sin(theta)  # (B,)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - cy
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) - cx
+    src_x = cos[:, None, None] * xx - sin[:, None, None] * yy + cx  # (B, H, W)
+    src_y = sin[:, None, None] * xx + cos[:, None, None] * yy + cy
+    sxr, syr = jnp.round(src_x), jnp.round(src_y)
+    valid = (sxr >= 0) & (sxr <= w - 1) & (syr >= 0) & (syr <= h - 1)
+    sxc = jnp.clip(sxr, 0, w - 1).astype(jnp.int32)
+    syc = jnp.clip(syr, 0, h - 1).astype(jnp.int32)
+    if hflip is not None:
+        # flip-then-rotate == sample the unflipped image at mirrored src x
+        sxc = jnp.where(hflip[:, None, None], w - 1 - sxc, sxc)
+    boff = (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None, None]
+    flat_idx = (boff + syc * w + sxc).reshape(-1)
+    out = jnp.take(imgs.reshape(b * h * w, -1), flat_idx, axis=0)
+    out = out.reshape(imgs.shape)
+    return jnp.where(valid[..., None], out, jnp.asarray(0, imgs.dtype))
+
+
 def train_augment_inline(
     key: jax.Array,
     patches_u8: jax.Array,
@@ -163,11 +210,11 @@ def train_augment_inline(
 ) -> jax.Array:
     """Traceable (un-jitted) form for fusing into a larger jitted program.
 
-    Default is the per-image path under one vmap (torchvision-exact
-    per-image jitter order): measured on chained v5e train steps it is
-    *faster* than the batch-level switch — under vmap the 6 orders become
-    selects fused into one elementwise pipeline, while a batch-level
-    conditional breaks XLA fusion around the whole batch tensor.
+    Jitter runs per-image under one vmap (torchvision-exact per-image op
+    order: under vmap the 6 orders become selects fused into one
+    elementwise pipeline, measured faster than a batch-level switch);
+    flip + rotation run at batch level through `rotate_batch`'s single
+    flat gather with the flip folded into the source indices.
 
     dtype: compute dtype for the augmentation math; bf16 halves the
     bandwidth of the jitter blends and the rotation gather and is plenty of
@@ -177,19 +224,12 @@ def train_augment_inline(
     b = imgs.shape[0]
     k_jit, k_flip, k_rot = jax.random.split(key, 3)
     if per_example_order:
-        def one(k, im):
-            kj, kf, kr = jax.random.split(k, 3)
-            im = color_jitter(kj, im)
-            im = jnp.where(jax.random.bernoulli(kf, 0.5), im[:, ::-1, :], im)
-            angle = jax.random.uniform(kr, (), minval=-180.0, maxval=180.0)
-            return rotate_image(im, angle, rot_order)
-
-        return jax.vmap(one)(jax.random.split(key, b), imgs)
-    imgs = color_jitter_batch(k_jit, imgs)
-    do_flip = jax.random.bernoulli(k_flip, 0.5, (b, 1, 1, 1))
-    imgs = jnp.where(do_flip, imgs[:, :, ::-1, :], imgs)
+        imgs = jax.vmap(color_jitter)(jax.random.split(k_jit, b), imgs)
+    else:
+        imgs = color_jitter_batch(k_jit, imgs)
+    hflip = jax.random.bernoulli(k_flip, 0.5, (b,))
     angles = jax.random.uniform(k_rot, (b,), minval=-180.0, maxval=180.0)
-    return jax.vmap(lambda im, a: rotate_image(im, a, rot_order))(imgs, angles)
+    return rotate_batch(imgs, angles, hflip=hflip, order=rot_order)
 
 
 @functools.partial(jax.jit, static_argnames=("rot_order", "per_example_order"))

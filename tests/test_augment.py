@@ -27,6 +27,22 @@ def test_rotate_90(rng):
     np.testing.assert_allclose(out, np.rot90(np.asarray(img), k=1), atol=1e-5)
 
 
+def test_rotate_batch_matches_per_image(rng):
+    """The batch-level flat-gather rotation must be bit-identical to the
+    per-image 2-D gather formulation, including the folded-in hflip."""
+    imgs = jnp.asarray(rng.uniform(size=(5, 12, 12, 3)).astype(np.float32))
+    angles = jnp.asarray(
+        rng.uniform(-180.0, 180.0, size=(5,)).astype(np.float32)
+    )
+    hflip = jnp.asarray(np.array([True, False, True, True, False]))
+    got = np.asarray(augment.rotate_batch(imgs, angles, hflip=hflip, order=0))
+    flipped = jnp.where(hflip[:, None, None, None], imgs[:, :, ::-1, :], imgs)
+    want = np.asarray(
+        jax.vmap(lambda im, a: augment.rotate_image(im, a, 0))(flipped, angles)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 def test_color_jitter_batch_matches_single_image_ops(rng):
     """Batched jitter with a known permutation must equal composing the
     single-image ops in that order (same factors)."""
