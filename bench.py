@@ -79,8 +79,9 @@ def main():
         "position": host_batch["position"][:1],
     }
 
-    # create_train_state initializes on the host CPU and transfers once
-    # (remote-TPU init is pathological; see train/state.py).
+    # create_train_state runs one jitted on-device init program (unjitted
+    # init and host-init-then-transfer are both pathological over the
+    # remote-TPU tunnel; see train/state.py).
     t0 = time.perf_counter()
     model, state = create_train_state(cfg.model, cfg.train, sample)
     print(f"init+transfer: {time.perf_counter() - t0:.1f}s", file=sys.stderr)

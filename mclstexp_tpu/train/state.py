@@ -57,37 +57,38 @@ def create_train_state(
 ) -> tuple[MclSTExp, TrainState]:
     """Initialize the flagship model and its optimizer state.
 
-    Initialization runs on the host CPU backend by default and the state is
-    transferred once: flax's (unjitted) init dispatches thousands of small
-    ops, which is pathological over a remote-TPU transport, and param shapes
-    don't depend on the device anyway. Shrink `sample_batch` to one example
-    for the same reason.
+    On an accelerator backend, initialization runs as ONE jitted on-device
+    program: flax's *unjitted* init dispatches thousands of small ops —
+    pathological over a remote-TPU transport — and host-init-then-transfer
+    ships ~1.2 GB of params+opt state per fold (~107 s measured over the
+    tunnel vs ~25 s compile once, ~0 s per subsequent fold from the
+    persistent compilation cache; JAX's threefry PRNG makes the values
+    platform-independent). Shrink `sample_batch` to one example — param
+    shapes don't depend on batch size. `init_on_host=True` (compat) now
+    means "don't run unjitted init on the accelerator"; the jitted path is
+    used either way on non-CPU backends.
     """
     model = MclSTExp(model_cfg)
     rng = rng if rng is not None else jax.random.PRNGKey(train_cfg.seed)
+    tx = torch_adam(train_cfg.lr, train_cfg.weight_decay)
 
-    def _init():
-        return model.init({"params": rng, "dropout": rng}, sample_batch, train=False)
+    def _init(k, b):
+        return model.init({"params": k, "dropout": k}, b, train=False)
 
     default_platform = jax.local_devices()[0].platform
-    if init_on_host and default_platform != "cpu":
-        cpu = jax.local_devices(backend="cpu")[0]
-        with jax.default_device(cpu):
-            variables = _init()
+    if default_platform != "cpu":
+        variables = jax.jit(_init)(rng, sample_batch)
+        opt_init = jax.jit(tx.init)
     else:
-        variables = _init()
+        variables = _init(rng, sample_batch)
+        opt_init = tx.init
 
     params = variables["params"]
-    batch_stats = variables.get("batch_stats", {})
-    tx = torch_adam(train_cfg.lr, train_cfg.weight_decay)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
-        batch_stats=batch_stats,
-        opt_state=tx.init(params),
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=opt_init(params),
         tx=tx,
     )
-    if init_on_host and default_platform != "cpu":
-        state = jax.device_put(state, jax.local_devices()[0])
-        jax.block_until_ready(state.params)
     return model, state
