@@ -51,6 +51,10 @@ class TrainConfig:
     # checkpoint periodically so a crash never loses a fold (SURVEY §5).
     checkpoint_dir: str = "model_result"
     donate: bool = True
+    # Rotation implementation for train-time augmentation: "paeth" (Pallas
+    # 3-shear, ~5x faster, statistically equivalent resampling) or "gather"
+    # (torchvision-exact nearest-neighbor). See ops/augment.rotate_batch_paeth.
+    rot_impl: str = "paeth"
     mesh_shape: Optional[Tuple[int, ...]] = None  # None -> 1D data mesh over all devices
     mesh_axes: Tuple[str, ...] = ("data",)
     # Datasets up to this size live in HBM; larger ones stream with prefetch.

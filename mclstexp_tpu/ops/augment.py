@@ -201,12 +201,67 @@ def rotate_batch(
     return jnp.where(valid[..., None], out, jnp.asarray(0, imgs.dtype))
 
 
+def rotate_batch_paeth(
+    imgs: jax.Array,
+    angles_deg: jax.Array,
+    hflip: jax.Array | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Rotate a (B, H, W, C) batch by Paeth's three-shear decomposition.
+
+    R(t) = ShearX(a) . ShearY(b) . ShearX(a) with a = tan(t/2), b = -sin(t)
+    (inverse-map convention matching `rotate_image`; positive = CCW), after
+    reducing the angle to [-45, 45] with an exact rot90. Each shear shifts
+    every row/column by one integer offset, executed by the
+    `ops.pallas_shift.row_shift` kernel — pure data movement instead of a
+    per-pixel gather (~6 ms vs 30 ms for B=128 224^2 bf16 on v5e).
+
+    Divergence (documented, quirk policy): the three-pass integer shifts
+    resample slightly differently from direct nearest-neighbor rotation
+    (torchvision RandomRotation semantics, `rotate_batch`); the transform
+    distribution — uniform angle, zero fill, value-preserving inside the
+    valid region — is equivalent, and multiples of 90 are exact. Requires
+    square images with H a multiple of 8 (the flagship 224 and test 16
+    shapes); use `rotate_batch` otherwise.
+    """
+    from mclstexp_tpu.ops.pallas_shift import row_shift
+
+    b, h, w = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+    assert h == w and h % 8 == 0, f"paeth rotation needs square H=W%8==0, got {imgs.shape}"
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    if hflip is not None:
+        imgs = jnp.where(hflip[:, None, None, None], imgs[:, :, ::-1, :], imgs)
+
+    k90 = jnp.round(angles_deg / 90.0)
+    theta = (angles_deg - k90 * 90.0) * (jnp.pi / 180.0)  # [-45, 45] residual
+    k = jnp.mod(k90, 4).astype(jnp.int32)[:, None, None, None]
+    r1 = jnp.rot90(imgs, 1, axes=(1, 2))
+    r2 = imgs[:, ::-1, ::-1, :]
+    r3 = jnp.rot90(imgs, 3, axes=(1, 2))
+    base = jnp.where(k == 1, r1, jnp.where(k == 2, r2, jnp.where(k == 3, r3, imgs)))
+
+    a = jnp.tan(theta / 2.0)  # (B,)
+    bshear = -jnp.sin(theta)
+    centered = jnp.arange(h, dtype=jnp.float32) - (h - 1) / 2.0  # (H,) == (W,)
+    shear_x = jnp.round(a[:, None] * centered[None, :]).astype(jnp.int32)  # (B, H)
+    shear_y = jnp.round(bshear[:, None] * centered[None, :]).astype(jnp.int32)  # (B, W)
+
+    out = row_shift(base, shear_x, interpret=interpret)
+    out = jnp.swapaxes(out, 1, 2)  # column shift = row shift on the transpose
+    out = row_shift(out, shear_y, interpret=interpret)
+    out = jnp.swapaxes(out, 1, 2)
+    return row_shift(out, shear_x, interpret=interpret)
+
+
 def train_augment_inline(
     key: jax.Array,
     patches_u8: jax.Array,
     rot_order: int = 0,
     per_example_order: bool = True,
     dtype=jnp.float32,
+    rot_impl: str = "gather",  # "gather" (torchvision-exact NN) | "paeth"
 ) -> jax.Array:
     """Traceable (un-jitted) form for fusing into a larger jitted program.
 
@@ -229,6 +284,9 @@ def train_augment_inline(
         imgs = color_jitter_batch(k_jit, imgs)
     hflip = jax.random.bernoulli(k_flip, 0.5, (b,))
     angles = jax.random.uniform(k_rot, (b,), minval=-180.0, maxval=180.0)
+    h, w = imgs.shape[1], imgs.shape[2]
+    if rot_impl == "paeth" and rot_order == 0 and h == w and h % 8 == 0:
+        return rotate_batch_paeth(imgs, angles, hflip=hflip)
     return rotate_batch(imgs, angles, hflip=hflip, order=rot_order)
 
 

@@ -80,7 +80,10 @@ def train_fold(
         logger.log(event="resume", fold=fold, epoch=start_epoch)
 
     augment_mode = "tenx" if cfg.data.dataset == "visium" else "st"
-    step_fn = make_train_step(model, augment_mode=augment_mode, donate=cfg.train.donate)
+    step_fn = make_train_step(
+        model, augment_mode=augment_mode, donate=cfg.train.donate,
+        rot_impl=cfg.train.rot_impl,
+    )
 
     # Keep the training set HBM-resident when it fits (reference scale is
     # 0.2-2 GB): per-step H2D shrinks from ~19 MB of patches to 128 indices.

@@ -25,11 +25,15 @@ def make_train_step(
     model: MclSTExp,
     augment_mode: str = "st",  # "st" (jitter+flip+rotate) | "tenx" | "none"
     donate: bool = True,
+    rot_impl: str = "paeth",  # "paeth" (Pallas 3-shear, ~5x faster) | "gather"
 ) -> Callable:
     """Build the jitted step: (state, batch, rng) -> (state, loss).
 
     batch: {"image_u8": (B, P, P, 3) uint8, "expression": (B, G) f32,
-    "position": (B, 2) i32}. Augmentation is part of the compiled program.
+    "position": (B, 2) i32}. Augmentation is part of the compiled program;
+    rot_impl="paeth" uses the shear-decomposed rotation (statistically
+    equivalent resampling, see ops/augment.rotate_batch_paeth) — pass
+    "gather" for torchvision-exact nearest-neighbor sampling.
     """
 
     aug_dtype = jnp.bfloat16 if model.config.dtype == "bfloat16" else jnp.float32
@@ -38,7 +42,7 @@ def make_train_step(
         aug_rng, dropout_rng = jax.random.split(rng)
         if augment_mode == "st":
             images = augment.train_augment_inline(
-                aug_rng, batch["image_u8"], dtype=aug_dtype
+                aug_rng, batch["image_u8"], dtype=aug_dtype, rot_impl=rot_impl
             )
         elif augment_mode == "tenx":
             images = augment.tenx_augment_inline(aug_rng, batch["image_u8"])

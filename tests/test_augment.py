@@ -43,6 +43,57 @@ def test_rotate_batch_matches_per_image(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_row_shift_matches_numpy(rng):
+    from mclstexp_tpu.ops.pallas_shift import row_shift
+
+    x = rng.uniform(size=(2, 16, 16, 3)).astype(np.float32)
+    shifts = rng.integers(-7, 8, size=(2, 16)).astype(np.int32)
+    got = np.asarray(row_shift(jnp.asarray(x), jnp.asarray(shifts), interpret=True))
+    want = np.zeros_like(x)
+    for b in range(2):
+        for y in range(16):
+            k = shifts[b, y]
+            for xx in range(16):
+                if 0 <= xx - k < 16:
+                    want[b, y, xx] = x[b, y, xx - k]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_paeth_exact_at_90_multiples(rng):
+    imgs = jnp.asarray(rng.uniform(size=(4, 16, 16, 3)).astype(np.float32))
+    for ang in [0.0, 90.0, 180.0, -90.0]:
+        angles = jnp.full((4,), ang, jnp.float32)
+        got = np.asarray(augment.rotate_batch_paeth(imgs, angles))
+        want = np.asarray(augment.rotate_batch(imgs, angles))
+        np.testing.assert_allclose(got, want, atol=1e-6, err_msg=f"angle {ang}")
+
+
+def test_paeth_close_to_exact_nn(rng):
+    """On a smooth image the 3-shear resampling stays within a pixel of the
+    direct NN rotation, preserves values, and agrees on the zero-fill mask."""
+    yy, xx = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    grad = ((yy + xx) / 62.0).astype(np.float32)[None, :, :, None].repeat(3, -1)
+    gi = jnp.asarray(np.tile(grad, (3, 1, 1, 1)))
+    angles = jnp.asarray(np.array([17.0, -48.0, 133.0], np.float32))
+    got = np.asarray(augment.rotate_batch_paeth(gi, angles))
+    want = np.asarray(augment.rotate_batch(gi, angles))
+    both = (got > 0) & (want > 0)
+    assert np.abs(got - want)[both].mean() < 0.03
+    assert ((got == 0) == (want == 0)).mean() > 0.95
+    for i in range(3):
+        assert np.isin(got[i][got[i] > 0], grad[0]).all()
+
+
+def test_paeth_hflip_folding(rng):
+    imgs = jnp.asarray(rng.uniform(size=(3, 16, 16, 3)).astype(np.float32))
+    angles = jnp.asarray(np.array([33.0, -71.0, 158.0], np.float32))
+    hf = jnp.asarray(np.array([True, False, True]))
+    got = np.asarray(augment.rotate_batch_paeth(imgs, angles, hflip=hf))
+    flipped = jnp.where(hf[:, None, None, None], imgs[:, :, ::-1, :], imgs)
+    want = np.asarray(augment.rotate_batch_paeth(flipped, angles))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_color_jitter_batch_matches_single_image_ops(rng):
     """Batched jitter with a known permutation must equal composing the
     single-image ops in that order (same factors)."""
