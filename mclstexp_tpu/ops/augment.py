@@ -21,13 +21,17 @@ Conventions match torchvision:
   * outputs are float in [0, 1] (ToTensor), NHWC.
 
 Performance note (v5e, measured on chained v5e programs, B=128 224x224):
-the rotation gather dominates augmentation cost and its formulation matters
+the rotation dominates augmentation cost and its formulation matters
 enormously. A per-image 2-D gather under `vmap` costs 62 ms; the same
 nearest-neighbor sampling as ONE batch-level 1-D `jnp.take` over globally
-flattened (B*H*W) indices costs 30 ms (`rotate_batch`); shear-decomposed
-variants with `take_along_axis` or per-row dynamic slices are 3-6x slower.
-Folding the horizontal flip into the rotation's source indices removes a
-further full-tensor select pass. Jitter is cheap (~4 ms) in every form.
+flattened (B*H*W) indices costs 30 ms (`rotate_batch`); XLA-level
+shear decompositions (`take_along_axis`, per-row dynamic slices: 3-6x
+slower; (H,W,W) one-hot einsum: 24 ms) lose to gathers or drown in one-hot
+HBM traffic — but the Pallas `ops.pallas_shift.row_shift` kernel does a
+shear as one dynamic lane-roll per row, making the full 3-shear Paeth
+rotation 6 ms (`rotate_batch_paeth`, the train-step default). Folding the
+horizontal flip into the rotation removes a further full-tensor select
+pass. Jitter is cheap (~4 ms) in every form.
 
 The Visium eval-time quirk (reference ``dataset.py:316-325``: random
 h/v-flips + 90° rotations even at inference) is `tenx_augment`.
