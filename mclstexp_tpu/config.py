@@ -140,11 +140,13 @@ PRESETS = {
     "visium": _preset("visium", 685, 9, 200, 2, eval_time_augment=True),
     "synthetic": Config(
         model=ModelConfig(
-            encoder_name="tiny_cnn", image_dim=128, spot_dim=64, projection_dim=32
+            # spot_dim matches data.synthetic.make_dataset's num_genes default
+            encoder_name="tiny_cnn", image_dim=128, spot_dim=32, projection_dim=32
         ),
         train=TrainConfig(batch_size=32, max_epochs=2),
         eval=EvalConfig(batch_size=16, top_k=8, weight_ord=1),
-        data=DataConfig(dataset="synthetic", num_folds=2),
+        # LOO protocol: num_folds == number of sections (make_dataset default 3)
+        data=DataConfig(dataset="synthetic", num_folds=3),
     ),
 }
 
