@@ -15,6 +15,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# XLA CPU compiles dominate suite runtime (end-to-end/CLI tests build many
+# small programs); a persistent cache makes re-runs ~3x faster.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("MCLSTEXP_TEST_JAX_CACHE", "/tmp/mclstexp_test_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
