@@ -39,6 +39,10 @@ def _add_model_flags(p: argparse.ArgumentParser):
     p.add_argument("--heads_layers", type=int, default=2)
     p.add_argument("--dropout", type=float, default=0.0)
     p.add_argument("--encoder_name", type=str, default="densenet121")
+    p.add_argument("--pretrained", type=str, default="",
+                   help="torch .pt with ImageNet-pretrained tower weights "
+                        "(torchvision/timm state_dict); training starts from "
+                        "them, like the reference default (model.py:73)")
     p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--weight_decay", type=float, default=1e-3)
@@ -76,6 +80,7 @@ def _build_config(args) -> "Config":
         dropout=args.dropout,
         temperature=args.temperature,
         dtype=args.dtype,
+        pretrained_path=args.pretrained or None,
     )
     train = dataclasses.replace(
         cfg.train,
@@ -205,12 +210,15 @@ def cmd_eval(args) -> int:
         img, spot = embed.compute_embeddings(
             model, state.params, state.batch_stats, sections, cfg.eval.batch_size,
             eval_augment=cfg.data.eval_time_augment, prepared=prepared,
+            raw_scale=cfg.data.visium_raw_scale,
         )
         if args.save_embeddings:
             out_dir = os.path.join(cfg.eval.embedding_dir,
                                    f"{cfg.data.dataset}_result", f"embeddings_{fold}")
             embed.dump_embeddings(model, state.params, state.batch_stats,
-                                  sections, out_dir, cfg.eval.batch_size)
+                                  sections, out_dir, cfg.eval.batch_size,
+                                  eval_augment=cfg.data.eval_time_augment,
+                                  raw_scale=cfg.data.visium_raw_scale)
         img_per_fold[fold] = embed.split_by_section(img, sizes)[fold]
         spot_per_fold[fold] = embed.split_by_section(spot, sizes)
 
@@ -270,7 +278,9 @@ def cmd_predict(args) -> int:
     state = ckpt.apply_checkpoint(state0, restored)
 
     img, spot = embed.compute_embeddings(
-        model, state.params, state.batch_stats, sections, cfg.eval.batch_size
+        model, state.params, state.batch_stats, sections, cfg.eval.batch_size,
+        eval_augment=cfg.data.eval_time_augment,
+        raw_scale=cfg.data.visium_raw_scale,
     )
     sizes = [s.num_spots for s in sections]
     out = evaluate.evaluate_fold(

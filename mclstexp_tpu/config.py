@@ -36,6 +36,10 @@ class ModelConfig:
     # Compute dtype for the towers. Params are always fp32; bf16 activations
     # keep matmuls on the MXU fast path. Loss math is always fp32.
     dtype: str = "float32"
+    # Spot-attention backend: "xla" (fused, optimal at reference batch
+    # sizes), "flash" (Pallas kernel for long block-aligned sequences),
+    # "ring" (sequence-parallel over a "seq" mesh axis for mega-slides).
+    attn_backend: str = "xla"
     pretrained_path: Optional[str] = None  # torch state_dict (.pt) to import
 
 
@@ -85,6 +89,11 @@ class DataConfig:
     eval_time_augment: bool = False  # TenxDataset quirk: the reference
     # applies random flips/rotations even at inference (dataset.py:316-325);
     # set True for strict parity on Visium.
+    visium_raw_scale: bool = False  # TenxDataset quirk: the reference feeds
+    # Visium patches as RAW 0-255 floats — `torch.tensor(image).permute(...)
+    # .float()` with no /255 (dataset.py:336) — at train AND eval. True (the
+    # visium preset default) skips the [0,1] rescale for bit-parity; False
+    # uses the [0,1] convention shared by the other datasets.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -117,6 +126,7 @@ def _preset(
     top_k: int,
     weight_ord: int,
     eval_time_augment: bool = False,
+    visium_raw_scale: bool = False,
 ) -> Config:
     return Config(
         model=ModelConfig(spot_dim=spot_dim),
@@ -126,6 +136,7 @@ def _preset(
             dataset=dataset,
             num_folds=num_folds,
             eval_time_augment=eval_time_augment,
+            visium_raw_scale=visium_raw_scale,
         ),
     )
 
@@ -137,7 +148,8 @@ def _preset(
 PRESETS = {
     "her2st": _preset("her2st", 785, 32, 200, 1),
     "cscc": _preset("cscc", 171, 12, 600, 2),
-    "visium": _preset("visium", 685, 9, 200, 2, eval_time_augment=True),
+    "visium": _preset("visium", 685, 9, 200, 2, eval_time_augment=True,
+                      visium_raw_scale=True),
     "synthetic": Config(
         model=ModelConfig(
             # spot_dim matches data.synthetic.make_dataset's num_genes default

@@ -88,6 +88,42 @@ def _flash_supported(seq_len: int, dim_head: int) -> bool:
     return on_tpu and seq_len % 128 == 0 and dim_head >= 64
 
 
+def _ring_shard_map(q: jax.Array, k: jax.Array, v: jax.Array, axis: str) -> jax.Array:
+    """Sequence-parallel attention: shard the (b, n, h, d) sequence axis over
+    the ambient mesh's `axis` and run parallel.ring_attention under shard_map.
+
+    The mesh comes from the active ``with mesh:`` context (the same context
+    the jitted train/eval step runs under), so model code stays
+    placement-free. Weights/other axes replicate; only the sequence moves.
+    """
+    from jax._src.mesh import thread_resources
+    from jax.sharding import PartitionSpec as P
+
+    from mclstexp_tpu.parallel.ring_attention import ring_self_attention
+
+    mesh = thread_resources.env.physical_mesh
+    if mesh.empty or axis not in mesh.axis_names:
+        raise ValueError(
+            f"backend='ring' needs an active mesh with a {axis!r} axis; "
+            f"got mesh axes {getattr(mesh, 'axis_names', ())}"
+        )
+    n = q.shape[1]
+    n_dev = mesh.shape[axis]
+    if n % n_dev != 0:
+        raise ValueError(f"sequence length {n} must divide the {axis!r} axis ({n_dev})")
+
+    def local(qb, kb, vb):  # (b, n_local, h, d) blocks
+        return jax.vmap(
+            lambda q_, k_, v_: ring_self_attention(q_, k_, v_, axis)
+        )(qb, kb, vb)
+
+    spec = P(None, axis, None, None)
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )(q, k, v)
+
+
 class LayerNormT(nn.Module):
     """LayerNorm with torch semantics (eps=1e-5, fp32 statistics)."""
 
@@ -119,6 +155,13 @@ class MultiHeadSelfAttention(nn.Module):
     with a block-aligned sequence — the memory-bound win for whole-slide
     spot sequences; everything else falls back to the fused-XLA path,
     which is optimal at the contrastive model's tiny sequence lengths.
+
+    backend="ring" is the sequence-parallel (SP) path for mega-slides whose
+    spot sequence exceeds one chip's HBM: the sequence axis is sharded over
+    the ambient mesh's `ring_axis` and K/V blocks rotate via ppermute
+    (parallel/ring_attention). Requires an active `with mesh:` whose
+    `ring_axis` divides the sequence length; masks are unsupported (shard
+    the un-padded sequence instead).
     """
 
     dim: int
@@ -126,7 +169,10 @@ class MultiHeadSelfAttention(nn.Module):
     dim_head: int = 64
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
-    backend: str = "xla"  # "xla" | "flash"
+    backend: str = "xla"  # "xla" | "flash" | "ring"
+    qkv_bias: bool = False  # reference spot attention: no bias (model.py:43);
+    # timm ViT towers: qkv_bias=True
+    ring_axis: str = "seq"  # mesh axis the sequence shards over (ring only)
 
     @nn.compact
     def __call__(
@@ -140,12 +186,19 @@ class MultiHeadSelfAttention(nn.Module):
         inner = h * d
         project_out = not (h == 1 and d == self.dim)
 
-        qkv = DenseT(inner * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+        qkv = DenseT(inner * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="to_qkv")(x)
         qkv = qkv.reshape(b, n, 3, h, d)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, h, d)
 
         scale = d**-0.5
-        if self.backend == "flash" and _flash_supported(n, d):
+        if self.backend == "ring":
+            if mask is not None:
+                raise NotImplementedError(
+                    "backend='ring' does not support masks; shard the "
+                    "un-padded sequence instead"
+                )
+            out = _ring_shard_map(q, k, v, self.ring_axis)
+        elif self.backend == "flash" and _flash_supported(n, d):
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 SegmentIds,
                 flash_attention,
@@ -215,6 +268,8 @@ class AttnBlock(nn.Module):
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
     backend: str = "xla"
+    qkv_bias: bool = False
+    ln_eps: float = 1e-5  # torch default; timm ViT blocks use 1e-6
 
     @nn.compact
     def __call__(
@@ -223,13 +278,13 @@ class AttnBlock(nn.Module):
         deterministic: bool = True,
         mask: Optional[jax.Array] = None,
     ) -> jax.Array:
-        h = LayerNormT(dtype=self.dtype, name="norm_attn")(x)
+        h = LayerNormT(epsilon=self.ln_eps, dtype=self.dtype, name="norm_attn")(x)
         h = MultiHeadSelfAttention(
             self.dim, self.heads, self.dim_head, self.dropout, self.dtype,
-            self.backend, name="attn",
+            self.backend, self.qkv_bias, name="attn",
         )(h, deterministic, mask)
         x = x + h
-        h = LayerNormT(dtype=self.dtype, name="norm_ff")(x)
+        h = LayerNormT(epsilon=self.ln_eps, dtype=self.dtype, name="norm_ff")(x)
         h = FeedForward(self.dim, self.mlp_dim, self.dropout, self.dtype, name="ff")(
             h, deterministic
         )

@@ -53,12 +53,14 @@ def compute_embeddings(
     eval_augment: bool = False,
     seed: int = 0,
     prepared=None,
+    raw_scale: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(image_embeddings, spot_embeddings), each (sum N_i, P), section order
     preserved. Batches of `batch_size` cross section boundaries (parity).
 
     eval_augment applies the Visium inference-time random flips/rotations
-    quirk (seeded; reference ``dataset.py:316-325``)."""
+    quirk (seeded; reference ``dataset.py:316-325``); raw_scale keeps the
+    raw 0-255 float input scale (reference ``dataset.py:336`` quirk)."""
     import jax
 
     rng = jax.random.PRNGKey(seed)
@@ -79,7 +81,7 @@ def compute_embeddings(
     # part of the same program. The jitted sweep is cached per (model,
     # eval_augment) so repeated dumps (the per-fold eval loop) don't
     # re-trace.
-    sweep = _make_sweep(model, eval_augment)
+    sweep = _make_sweep(model, eval_augment, raw_scale)
     image_bs = max(batch_size, 256)
     img = sweep(params, batch_stats, (patches_dev,), n, image_bs, "image", rng)
     spot = sweep(params, batch_stats, (expr_dev, pos_dev), n, batch_size, "spot", rng)
@@ -87,7 +89,7 @@ def compute_embeddings(
 
 
 @functools.lru_cache(maxsize=8)
-def _make_sweep(model, eval_augment: bool):
+def _make_sweep(model, eval_augment: bool, raw_scale: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -100,7 +102,9 @@ def _make_sweep(model, eval_augment: bool):
         if eval_augment:
             from mclstexp_tpu.ops.augment import tenx_augment_inline
 
-            images = tenx_augment_inline(aug_rng, u8)
+            images = tenx_augment_inline(aug_rng, u8, raw_scale=raw_scale)
+        elif raw_scale:
+            images = u8.astype(jnp.float32)
         else:
             images = u8.astype(jnp.float32) / 255.0
         return model.apply(variables, images, method=type(model).encode_image)
@@ -160,10 +164,12 @@ def dump_embeddings(
     out_dir: str,
     batch_size: int = 32,
     eval_augment: bool = False,
+    raw_scale: bool = False,
 ) -> None:
     """Write the reference-compatible per-section transposed .npy files."""
     img, spot = compute_embeddings(
-        model, params, batch_stats, sections, batch_size, eval_augment
+        model, params, batch_stats, sections, batch_size, eval_augment,
+        raw_scale=raw_scale,
     )
     sizes = [s.num_spots for s in sections]
     os.makedirs(out_dir, exist_ok=True)

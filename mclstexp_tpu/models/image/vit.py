@@ -1,9 +1,16 @@
 """ViT-B/32 image tower in flax (NHWC).
 
 Encoder selectable as ``encoder_name="vit"`` (reference ``model.py:104-116``:
-timm ``vit_base_patch32_224`` with ``num_classes=0, global_pool="avg"``, i.e.
-the mean over patch tokens after the final LayerNorm, excluding the class
-token). 224/32 = 7x7 = 49 patch tokens; dim 768, 12 layers, 12 heads.
+timm ``vit_base_patch32_224`` with ``num_classes=0, global_pool="avg"``).
+224/32 = 7x7 = 49 patch tokens; dim 768, 12 layers, 12 heads, qkv bias,
+LayerNorm eps 1e-6.
+
+timm semantics for ``global_pool="avg"`` (timm >= 0.6, required for the
+``global_pool`` kwarg the reference passes): ``use_fc_norm`` is enabled, so
+the blocks' output is mean-pooled over the patch tokens (cls excluded)
+FIRST and the final LayerNorm (``fc_norm``) is applied to the pooled
+vector — pool-then-norm, not norm-then-pool. The importer accepts either
+``norm.*`` or ``fc_norm.*`` checkpoint keys for that final norm.
 
 Reuses the core transformer blocks; the patch embed is one strided conv
 that XLA lowers to a single (B*49, 3072) x (3072, 768) MXU matmul.
@@ -66,11 +73,17 @@ class ViTEncoder(nn.Module):
                 self.dim // self.heads,
                 self.mlp_dim,
                 dtype=self.dtype,
+                qkv_bias=True,
+                ln_eps=1e-6,
                 name=f"block{i}",
             )(x)
-        x = LayerNormT(dtype=self.dtype, name="norm")(x)
-        # global_pool="avg": mean over patch tokens, excluding the cls token.
-        return jnp.mean(x[:, 1:], axis=1).astype(jnp.float32)
+        # global_pool="avg" + use_fc_norm: mean over patch tokens (cls token
+        # excluded) first, final LayerNorm (timm's fc_norm) on the pooled
+        # vector. See module docstring.
+        x = jnp.mean(x[:, 1:], axis=1)
+        return LayerNormT(epsilon=1e-6, dtype=self.dtype, name="norm")(x).astype(
+            jnp.float32
+        )
 
 
 class TinyCNN(nn.Module):

@@ -65,6 +65,7 @@ class MclSTExp(nn.Module):
                 dropout=cfg.dropout,
                 pos_vocab=cfg.pos_vocab,
                 dtype=dtype,
+                backend=cfg.attn_backend,
                 name="spot_encoder",
             )
         elif cfg.variant == "mlp":

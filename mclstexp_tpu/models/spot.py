@@ -30,6 +30,8 @@ class SpotEncoder(nn.Module):
     dropout: float = 0.0
     pos_vocab: int = 65536
     dtype: Dtype = jnp.float32
+    backend: str = "xla"  # attention backend: "xla" | "flash" | "ring" (SP
+    # over a "seq" mesh axis for mega-slide sequences; core/layers)
 
     @nn.compact
     def __call__(
@@ -56,6 +58,7 @@ class SpotEncoder(nn.Module):
                 mlp_dim=self.spot_dim,
                 dropout=self.dropout,
                 dtype=self.dtype,
+                backend=self.backend,
                 name=f"block{i}",
             )(x, deterministic)
         return x[0] if squeeze else x

@@ -305,16 +305,21 @@ def train_augment(
     return train_augment_inline(key, patches_u8, rot_order, per_example_order)
 
 
-def tenx_augment_inline(key: jax.Array, patches_u8: jax.Array) -> jax.Array:
+def tenx_augment_inline(
+    key: jax.Array, patches_u8: jax.Array, raw_scale: bool = False
+) -> jax.Array:
     """TenxDataset transform (reference ``dataset.py:316-325``): random hflip,
     random vflip, then rotation by a uniform choice of {180, 90, 0, -90}.
-    Applied at train AND eval time in the reference. Float [0,1] NHWC output.
+    Applied at train AND eval time in the reference. Float NHWC output.
 
-    Note the reference feeds these patches *unscaled* (0..255 floats,
-    ``dataset.py:336``); we keep [0,1] scaling consistent across datasets and
-    document the divergence (quirk policy, SURVEY §2 C8).
+    raw_scale=True reproduces the reference's input scale bit-exactly: Visium
+    patches are fed as RAW 0-255 floats — ``torch.tensor(image).permute(2,0,1)
+    .float()`` with no /255 (``dataset.py:336``). The visium preset defaults
+    it on (``DataConfig.visium_raw_scale``); False gives the [0,1] convention
+    shared by the other datasets.
     """
-    imgs = patches_u8.astype(jnp.float32) / 255.0
+    scale = jnp.float32(1.0) if raw_scale else jnp.float32(1.0 / 255.0)
+    imgs = patches_u8.astype(jnp.float32) * scale
     b = imgs.shape[0]
     k_h, k_v, k_r = jax.random.split(key, 3)
     hflip = jax.random.bernoulli(k_h, 0.5, (b,))
@@ -339,9 +344,11 @@ def tenx_augment_inline(key: jax.Array, patches_u8: jax.Array) -> jax.Array:
     return jax.vmap(one)(imgs, hflip, vflip, rot)
 
 
-@jax.jit
-def tenx_augment(key: jax.Array, patches_u8: jax.Array) -> jax.Array:
-    return tenx_augment_inline(key, patches_u8)
+@functools.partial(jax.jit, static_argnames=("raw_scale",))
+def tenx_augment(
+    key: jax.Array, patches_u8: jax.Array, raw_scale: bool = False
+) -> jax.Array:
+    return tenx_augment_inline(key, patches_u8, raw_scale)
 
 
 @jax.jit

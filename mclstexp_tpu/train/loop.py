@@ -83,6 +83,7 @@ def train_fold(
     step_fn = make_train_step(
         model, augment_mode=augment_mode, donate=cfg.train.donate,
         rot_impl=cfg.train.rot_impl,
+        tenx_raw_scale=cfg.data.visium_raw_scale,
     )
 
     # Keep the training set HBM-resident when it fits (reference scale is

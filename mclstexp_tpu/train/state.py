@@ -84,10 +84,21 @@ def create_train_state(
         opt_init = tx.init
 
     params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    if model_cfg.pretrained_path:
+        # Reference default: training starts from an ImageNet-pretrained
+        # image tower (model.py:73,89,104-108); graft the imported tower
+        # into the fresh init before the optimizer state is built.
+        from mclstexp_tpu.models.image.torch_import import load_pretrained_tower
+
+        params, batch_stats = load_pretrained_tower(
+            dict(params), dict(batch_stats), model_cfg.pretrained_path,
+            model_cfg.encoder_name,
+        )
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
-        batch_stats=variables.get("batch_stats", {}),
+        batch_stats=batch_stats,
         opt_state=opt_init(params),
         tx=tx,
     )

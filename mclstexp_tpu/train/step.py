@@ -26,6 +26,7 @@ def make_train_step(
     augment_mode: str = "st",  # "st" (jitter+flip+rotate) | "tenx" | "none"
     donate: bool = True,
     rot_impl: str = "paeth",  # "paeth" (Pallas 3-shear, ~5x faster) | "gather"
+    tenx_raw_scale: bool = False,
 ) -> Callable:
     """Build the jitted step: (state, batch, rng) -> (state, loss).
 
@@ -34,6 +35,8 @@ def make_train_step(
     rot_impl="paeth" uses the shear-decomposed rotation (statistically
     equivalent resampling, see ops/augment.rotate_batch_paeth) — pass
     "gather" for torchvision-exact nearest-neighbor sampling.
+    tenx_raw_scale feeds Visium patches as raw 0-255 floats (reference
+    dataset.py:336 quirk; DataConfig.visium_raw_scale).
     """
 
     aug_dtype = jnp.bfloat16 if model.config.dtype == "bfloat16" else jnp.float32
@@ -45,7 +48,9 @@ def make_train_step(
                 aug_rng, batch["image_u8"], dtype=aug_dtype, rot_impl=rot_impl
             )
         elif augment_mode == "tenx":
-            images = augment.tenx_augment_inline(aug_rng, batch["image_u8"])
+            images = augment.tenx_augment_inline(
+                aug_rng, batch["image_u8"], raw_scale=tenx_raw_scale
+            )
         else:
             images = batch["image_u8"].astype(jnp.float32) / 255.0
 
@@ -77,7 +82,9 @@ def make_train_step(
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
-def make_eval_embed_step(model: MclSTExp, eval_augment: bool = False) -> Callable:
+def make_eval_embed_step(
+    model: MclSTExp, eval_augment: bool = False, raw_scale: bool = False
+) -> Callable:
     """Jitted embedding step for the dump phase (reference
     ``evel_her2st.py:44-70``): float images, batch-as-sequence spot tower,
     both projections. Returns (image_emb, spot_emb).
@@ -85,12 +92,17 @@ def make_eval_embed_step(model: MclSTExp, eval_augment: bool = False) -> Callabl
     eval_augment=True applies the TenxDataset random flips/rotations at
     inference — the Visium parity quirk (reference ``dataset.py:316-325``
     always transforms, and ``evel_visium.py:19-31`` consumes it as-is).
+    raw_scale=True keeps the raw 0-255 float scale (dataset.py:336 quirk).
     """
 
     def embed(params, batch_stats, batch: Dict[str, jax.Array], rng=None):
         variables = {"params": params, "batch_stats": batch_stats}
         if eval_augment:
-            images = augment.tenx_augment_inline(rng, batch["image_u8"])
+            images = augment.tenx_augment_inline(
+                rng, batch["image_u8"], raw_scale=raw_scale
+            )
+        elif raw_scale:
+            images = batch["image_u8"].astype(jnp.float32)
         else:
             images = batch["image_u8"].astype(jnp.float32) / 255.0
         model_batch = {

@@ -110,3 +110,49 @@ def test_her2st_fold_convention():
     for fold in range(4):
         _, test = split_fold(sections, fold)
         assert test.name == sections[fold].name
+
+
+def test_visium_raw_scale_quirk(rng):
+    """TenxDataset feeds patches as RAW 0-255 floats (reference
+    dataset.py:336: torch.tensor(image).permute(2,0,1).float(), no /255).
+    The visium preset must default the parity flag on, and the raw-scale
+    output must be exactly 255x the [0,1]-scaled one (same flips/rotations
+    under the same key)."""
+    from mclstexp_tpu.config import get_config
+    from mclstexp_tpu.ops.augment import tenx_augment
+
+    assert get_config("visium").data.visium_raw_scale is True
+    assert get_config("her2st").data.visium_raw_scale is False
+
+    u8 = jnp.asarray(rng.integers(0, 256, size=(4, 16, 16, 3)), jnp.uint8)
+    key = jax.random.PRNGKey(0)
+    raw = tenx_augment(key, u8, raw_scale=True)
+    scaled = tenx_augment(key, u8, raw_scale=False)
+    assert float(raw.max()) > 1.5  # genuinely unscaled
+    np.testing.assert_allclose(np.asarray(raw), np.asarray(scaled) * 255.0, rtol=1e-6)
+
+
+def test_train_step_visium_raw_scale(rng):
+    """The tenx train step consumes raw-scale images when the flag is set
+    (different loss than the [0,1] path on the same batch/rng)."""
+    from mclstexp_tpu.train.state import create_train_state
+    from mclstexp_tpu.train.step import make_train_step
+    from mclstexp_tpu.config import TrainConfig
+
+    batch = {
+        "image_u8": jnp.asarray(rng.integers(0, 256, size=(8, 16, 16, 3)), jnp.uint8),
+        "expression": jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32)),
+        "position": jnp.asarray(rng.integers(0, 64, size=(8, 2)).astype(np.int32)),
+    }
+    sample = {
+        "image": np.asarray(batch["image_u8"][:1], np.float32) / 255.0,
+        "expression": np.asarray(batch["expression"][:1]),
+        "position": np.asarray(batch["position"][:1]),
+    }
+    model, state = create_train_state(TINY, TrainConfig(batch_size=8), sample)
+    rng_step = jax.random.PRNGKey(1)
+    _, loss_raw = make_train_step(model, augment_mode="tenx", donate=False,
+                                  tenx_raw_scale=True)(state, batch, rng_step)
+    _, loss_unit = make_train_step(model, augment_mode="tenx", donate=False,
+                                   tenx_raw_scale=False)(state, batch, rng_step)
+    assert float(loss_raw) != float(loss_unit)

@@ -1,0 +1,326 @@
+"""Numeric golden tests for the image towers against functional torch.
+
+The reference trains from ImageNet-pretrained torchvision/timm towers
+(reference ``model.py:73,89,104-108``). These tests build functional torch
+forwards of those architectures (plain torch — no torchvision/timm needed)
+from synthetic state dicts with *random* weights and BN statistics, import
+the same weights through ``models.image.torch_import``, and assert the flax
+towers match activations, in both eval (running-stats) and train (batch-
+stats) BatchNorm modes. The classic silent-divergence spots — BN eps,
+maxpool padding, avg-pool ordering, qkv head layout, LayerNorm eps — are all
+load-bearing here.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from mclstexp_tpu.models.image.densenet import densenet121
+from mclstexp_tpu.models.image.resnet import resnet50
+from mclstexp_tpu.models.image.torch_import import import_image_tower
+from mclstexp_tpu.models.image.vit import ViTEncoder
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+
+def _conv_w(rng, o, i, k):
+    # deliberately sub-kaiming: random eval-mode BN stats don't track the
+    # true activation statistics, so unit-gain weights explode exponentially
+    # through 50+ layers and fp32 accumulation-order noise swamps the
+    # comparison; a per-layer gain < 1 keeps activations O(1).
+    std = 0.5 * (2.0 / (o * k * k)) ** 0.5
+    return (rng.normal(size=(o, i, k, k)) * std).astype(np.float32)
+
+
+def _bn_params(rng, sd, key, c):
+    sd[key + ".weight"] = rng.uniform(0.5, 1.2, c).astype(np.float32)
+    sd[key + ".bias"] = (rng.normal(size=c) * 0.1).astype(np.float32)
+    sd[key + ".running_mean"] = (rng.normal(size=c) * 0.1).astype(np.float32)
+    sd[key + ".running_var"] = rng.uniform(0.8, 1.5, c).astype(np.float32)
+    sd[key + ".num_batches_tracked"] = np.asarray(1)
+
+
+def _t(sd, key):
+    return torch.tensor(sd[key])
+
+
+def _bn(x, sd, key, training):
+    if training:
+        return F.batch_norm(
+            x, None, None, _t(sd, key + ".weight"), _t(sd, key + ".bias"),
+            training=True, eps=1e-5,
+        )
+    return F.batch_norm(
+        x, _t(sd, key + ".running_mean"), _t(sd, key + ".running_var"),
+        _t(sd, key + ".weight"), _t(sd, key + ".bias"), training=False, eps=1e-5,
+    )
+
+
+# ---------------------------------------------------------------- DenseNet
+
+
+def make_torchvision_densenet_sd(rng):
+    """Random densenet121 tower in bare torchvision naming (features.*)."""
+    sd = {}
+    sd["features.conv0.weight"] = _conv_w(rng, 64, 3, 7)
+    _bn_params(rng, sd, "features.norm0", 64)
+    feats = 64
+    for bi, n_layers in enumerate((6, 12, 24, 16), start=1):
+        for li in range(1, n_layers + 1):
+            in_f = feats + (li - 1) * 32
+            base = f"features.denseblock{bi}.denselayer{li}"
+            _bn_params(rng, sd, f"{base}.norm1", in_f)
+            sd[f"{base}.conv1.weight"] = _conv_w(rng, 128, in_f, 1)
+            _bn_params(rng, sd, f"{base}.norm2", 128)
+            sd[f"{base}.conv2.weight"] = _conv_w(rng, 32, 128, 3)
+        feats += n_layers * 32
+        if bi < 4:
+            _bn_params(rng, sd, f"features.transition{bi}.norm", feats)
+            sd[f"features.transition{bi}.conv.weight"] = _conv_w(rng, feats // 2, feats, 1)
+            feats //= 2
+    _bn_params(rng, sd, "features.norm5", feats)
+    # torchvision state dicts carry the classifier; the importer must skip it
+    sd["classifier.weight"] = np.zeros((1000, feats), np.float32)
+    sd["classifier.bias"] = np.zeros(1000, np.float32)
+    return sd
+
+
+def torch_densenet_forward(sd, x, training):
+    """Functional torchvision densenet121 ``features`` trunk + the
+    reference's adaptive-avg-pool head WITHOUT the classifier-path ReLU
+    (reference model.py:73-83). x: NCHW."""
+    h = F.conv2d(x, _t(sd, "features.conv0.weight"), stride=2, padding=3)
+    h = F.relu(_bn(h, sd, "features.norm0", training))
+    h = F.max_pool2d(h, 3, 2, 1)
+    for bi, n_layers in enumerate((6, 12, 24, 16), start=1):
+        feats = [h]
+        for li in range(1, n_layers + 1):
+            base = f"features.denseblock{bi}.denselayer{li}"
+            y = torch.cat(feats, 1)
+            y = F.relu(_bn(y, sd, f"{base}.norm1", training))
+            y = F.conv2d(y, _t(sd, f"{base}.conv1.weight"))
+            y = F.relu(_bn(y, sd, f"{base}.norm2", training))
+            y = F.conv2d(y, _t(sd, f"{base}.conv2.weight"), padding=1)
+            feats.append(y)
+        h = torch.cat(feats, 1)
+        if bi < 4:
+            t = f"features.transition{bi}"
+            h = F.relu(_bn(h, sd, f"{t}.norm", training))
+            h = F.conv2d(h, _t(sd, f"{t}.conv.weight"))
+            h = F.avg_pool2d(h, 2, 2)
+    h = _bn(h, sd, "features.norm5", training)  # no ReLU (quirk)
+    return F.adaptive_avg_pool2d(h, (1, 1)).flatten(1)
+
+
+@pytest.mark.parametrize("training", [False, True], ids=["eval_bn", "train_bn"])
+def test_densenet121_matches_torch(rng, training):
+    sd = make_torchvision_densenet_sd(rng)
+    params, batch_stats = import_image_tower(sd, "densenet121")
+
+    x = rng.uniform(size=(2, 64, 64, 3)).astype(np.float32)
+    model = densenet121()
+    variables = {"params": params, "batch_stats": batch_stats}
+    if training:
+        ours, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    else:
+        ours = model.apply(variables, x, train=False)
+
+    expected = torch_densenet_forward(
+        sd, torch.tensor(np.transpose(x, (0, 3, 1, 2))), training
+    ).numpy()
+    # train-mode BN normalizes by batch stats over as few as 2x2x2 elements
+    # at the deep layers, which amplifies fp32 accumulation-order noise.
+    tol = dict(rtol=3e-3, atol=3e-3) if training else dict(rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ours), expected, **tol)
+
+
+# ------------------------------------------------------------------ ResNet
+
+
+def make_torchvision_resnet50_sd(rng):
+    """Random resnet50 tower in bare torchvision naming."""
+    sd = {}
+    sd["conv1.weight"] = _conv_w(rng, 64, 3, 7)
+    _bn_params(rng, sd, "bn1", 64)
+    in_c = 64
+    for s, n_blocks in enumerate((3, 4, 6, 3)):
+        width = 64 * (2**s)
+        out_c = width * 4
+        for b in range(n_blocks):
+            base = f"layer{s + 1}.{b}"
+            sd[f"{base}.conv1.weight"] = _conv_w(rng, width, in_c, 1)
+            _bn_params(rng, sd, f"{base}.bn1", width)
+            sd[f"{base}.conv2.weight"] = _conv_w(rng, width, width, 3)
+            _bn_params(rng, sd, f"{base}.bn2", width)
+            sd[f"{base}.conv3.weight"] = _conv_w(rng, out_c, width, 1)
+            _bn_params(rng, sd, f"{base}.bn3", out_c)
+            if b == 0:  # in != out (layer1) or stride 2 (layers 2-4)
+                sd[f"{base}.downsample.0.weight"] = _conv_w(rng, out_c, in_c, 1)
+                _bn_params(rng, sd, f"{base}.downsample.1", out_c)
+            in_c = out_c
+    sd["fc.weight"] = np.zeros((1000, in_c), np.float32)  # ignored
+    sd["fc.bias"] = np.zeros(1000, np.float32)
+    return sd
+
+
+def torch_resnet50_forward(sd, x, training):
+    h = F.conv2d(x, _t(sd, "conv1.weight"), stride=2, padding=3)
+    h = F.relu(_bn(h, sd, "bn1", training))
+    h = F.max_pool2d(h, 3, 2, 1)
+    for s, n_blocks in enumerate((3, 4, 6, 3)):
+        for b in range(n_blocks):
+            base = f"layer{s + 1}.{b}"
+            stride = 2 if (b == 0 and s > 0) else 1
+            identity = h
+            y = F.relu(_bn(F.conv2d(h, _t(sd, f"{base}.conv1.weight")), sd, f"{base}.bn1", training))
+            y = F.relu(_bn(
+                F.conv2d(y, _t(sd, f"{base}.conv2.weight"), stride=stride, padding=1),
+                sd, f"{base}.bn2", training))
+            y = _bn(F.conv2d(y, _t(sd, f"{base}.conv3.weight")), sd, f"{base}.bn3", training)
+            if f"{base}.downsample.0.weight" in sd:
+                identity = _bn(
+                    F.conv2d(h, _t(sd, f"{base}.downsample.0.weight"), stride=stride),
+                    sd, f"{base}.downsample.1", training)
+            h = F.relu(y + identity)
+    return F.adaptive_avg_pool2d(h, (1, 1)).flatten(1)
+
+
+@pytest.mark.parametrize("training", [False, True], ids=["eval_bn", "train_bn"])
+def test_resnet50_matches_torch(rng, training):
+    sd = make_torchvision_resnet50_sd(rng)
+    params, batch_stats = import_image_tower(sd, "resnet50")
+
+    x = rng.uniform(size=(2, 64, 64, 3)).astype(np.float32)
+    model = resnet50()
+    variables = {"params": params, "batch_stats": batch_stats}
+    if training:
+        ours, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    else:
+        ours = model.apply(variables, x, train=False)
+
+    expected = torch_resnet50_forward(
+        sd, torch.tensor(np.transpose(x, (0, 3, 1, 2))), training
+    ).numpy()
+    tol = dict(rtol=3e-3, atol=3e-3) if training else dict(rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ours), expected, **tol)
+
+
+# --------------------------------------------------------------------- ViT
+
+
+def make_timm_vit_sd(rng, dim=32, depth=2, patch=8, tokens=4, mlp=64, final="norm"):
+    """Random mini-ViT in timm naming (vit_base_patch32_224 layout)."""
+
+    def lin(key, o, i):
+        sd[key + ".weight"] = (rng.normal(size=(o, i)) * (i**-0.5)).astype(np.float32)
+        sd[key + ".bias"] = (rng.normal(size=o) * 0.02).astype(np.float32)
+
+    def ln(key, c):
+        sd[key + ".weight"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+        sd[key + ".bias"] = (rng.normal(size=c) * 0.1).astype(np.float32)
+
+    sd = {}
+    sd["cls_token"] = (rng.normal(size=(1, 1, dim)) * 0.02).astype(np.float32)
+    sd["pos_embed"] = (rng.normal(size=(1, tokens + 1, dim)) * 0.02).astype(np.float32)
+    sd["patch_embed.proj.weight"] = _conv_w(rng, dim, 3, patch)
+    sd["patch_embed.proj.bias"] = (rng.normal(size=dim) * 0.02).astype(np.float32)
+    for i in range(depth):
+        base = f"blocks.{i}"
+        ln(f"{base}.norm1", dim)
+        lin(f"{base}.attn.qkv", dim * 3, dim)
+        lin(f"{base}.attn.proj", dim, dim)
+        ln(f"{base}.norm2", dim)
+        lin(f"{base}.mlp.fc1", mlp, dim)
+        lin(f"{base}.mlp.fc2", dim, mlp)
+    ln(final, dim)
+    return sd
+
+
+def torch_vit_forward(sd, x, heads, depth, final="norm"):
+    """Functional timm ViT with num_classes=0, global_pool='avg': blocks ->
+    mean over patch tokens (cls excluded) -> fc_norm. LN eps 1e-6, qkv bias,
+    timm (B,N,3,h,d) head layout. x: NCHW."""
+    w = _t(sd, "patch_embed.proj.weight")
+    p = w.shape[-1]
+    h = F.conv2d(x, w, _t(sd, "patch_embed.proj.bias"), stride=p)
+    B, D = h.shape[0], h.shape[1]
+    h = h.flatten(2).transpose(1, 2)  # (B, N, D)
+    cls = _t(sd, "cls_token").expand(B, -1, -1)
+    h = torch.cat([cls, h], 1) + _t(sd, "pos_embed")
+    hd = D // heads
+    for i in range(depth):
+        base = f"blocks.{i}"
+        y = F.layer_norm(h, (D,), _t(sd, f"{base}.norm1.weight"),
+                         _t(sd, f"{base}.norm1.bias"), eps=1e-6)
+        qkv = F.linear(y, _t(sd, f"{base}.attn.qkv.weight"), _t(sd, f"{base}.attn.qkv.bias"))
+        Bq, N, _ = qkv.shape
+        qkv = qkv.reshape(Bq, N, 3, heads, hd).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = torch.softmax(q @ k.transpose(-2, -1) * hd**-0.5, -1)
+        y = (attn @ v).transpose(1, 2).reshape(Bq, N, D)
+        y = F.linear(y, _t(sd, f"{base}.attn.proj.weight"), _t(sd, f"{base}.attn.proj.bias"))
+        h = h + y
+        y = F.layer_norm(h, (D,), _t(sd, f"{base}.norm2.weight"),
+                         _t(sd, f"{base}.norm2.bias"), eps=1e-6)
+        y = F.linear(y, _t(sd, f"{base}.mlp.fc1.weight"), _t(sd, f"{base}.mlp.fc1.bias"))
+        y = F.gelu(y)
+        y = F.linear(y, _t(sd, f"{base}.mlp.fc2.weight"), _t(sd, f"{base}.mlp.fc2.bias"))
+        h = h + y
+    pooled = h[:, 1:].mean(1)
+    return F.layer_norm(pooled, (D,), _t(sd, f"{final}.weight"),
+                        _t(sd, f"{final}.bias"), eps=1e-6)
+
+
+@pytest.mark.parametrize("final", ["norm", "fc_norm"])
+def test_vit_matches_torch(rng, final):
+    dim, depth, heads, patch, mlp = 32, 2, 2, 8, 64
+    sd = make_timm_vit_sd(rng, dim=dim, depth=depth, patch=patch, tokens=4,
+                          mlp=mlp, final=final)
+    params, batch_stats = import_image_tower(sd, "vit")
+    assert batch_stats == {}
+
+    x = rng.uniform(size=(2, 16, 16, 3)).astype(np.float32)  # 4 patch tokens
+    model = ViTEncoder(patch_size=patch, dim=dim, depth=depth, heads=heads, mlp_dim=mlp)
+    ours = model.apply({"params": params}, x)
+
+    expected = torch_vit_forward(
+        sd, torch.tensor(np.transpose(x, (0, 3, 1, 2))), heads, depth, final
+    ).numpy()
+    np.testing.assert_allclose(np.asarray(ours), expected, rtol=1e-4, atol=1e-5)
+
+
+# ----------------------------------------------------- pretrained wiring
+
+
+def test_create_train_state_starts_from_pretrained(rng, tmp_path):
+    """ModelConfig.pretrained_path grafts the imported tower into the fresh
+    init (reference default flow, model.py:73-77)."""
+    from mclstexp_tpu.config import ModelConfig, TrainConfig
+    from mclstexp_tpu.train.state import create_train_state
+
+    sd = make_torchvision_resnet50_sd(rng)
+    pt = tmp_path / "resnet50_imagenet.pt"
+    torch.save({k: torch.tensor(v) for k, v in sd.items()}, pt)
+
+    cfg = ModelConfig(
+        encoder_name="resnet50", image_dim=2048, spot_dim=16, projection_dim=8,
+        heads_num=2, heads_dim=4, head_layers=1, pos_vocab=64,
+        pretrained_path=str(pt),
+    )
+    sample = {
+        "image": np.zeros((1, 32, 32, 3), np.float32),
+        "expression": np.zeros((1, 16), np.float32),
+        "position": np.zeros((1, 2), np.int32),
+    }
+    model, state = create_train_state(cfg, TrainConfig(batch_size=4), sample)
+
+    got = np.asarray(state.params["image_encoder"]["stem"]["conv"]["kernel"])
+    want = np.transpose(sd["conv1.weight"], (2, 3, 1, 0))
+    np.testing.assert_array_equal(got, want)
+    got_var = np.asarray(state.params["image_encoder"]["layer3_block2"]["cb2"]["bn"]["scale"])
+    np.testing.assert_array_equal(got_var, sd["layer3.2.bn2.weight"])
+    # spot side untouched: still random torch-parity init
+    assert "spot_encoder" in state.params
+    # optimizer state was built on the grafted params (same tree structure)
+    jax.tree.map(lambda a, b: None, state.params, state.opt_state[1].mu)
