@@ -113,6 +113,8 @@ def main():
         file=sys.stderr,
     )
 
+    eval_spots_per_sec, retrieval_qps = bench_eval_path(jax, model, state)
+
     print(
         json.dumps(
             {
@@ -120,9 +122,78 @@ def main():
                 "value": round(spots_per_sec, 2),
                 "unit": "patches+spots/sec/chip",
                 "vs_baseline": round(spots_per_sec / REF_SPOTS_PER_SEC, 2),
+                "eval_spots_per_sec": round(eval_spots_per_sec, 2),
+                "retrieval_queries_per_sec": round(retrieval_qps, 2),
             }
         )
     )
+
+
+def bench_eval_path(
+    jax, model, state,
+    n_eval=3456,   # ~10 HER2ST sections' worth of spots; 108 B=32 batches
+    n_keys=9984,   # full 31-section key set scale (evel_her2st.py:152-156)
+    top_k=200,
+    image=IMAGE,
+    spot_dim=SPOT_DIM,
+):
+    """Time the inference path: the B=32 batch-as-sequence embedding sweep
+    (one lax.scan program, reference phase A ``evel_her2st.py:30-71``) and
+    the fused top-K retrieval + 1/d^2 aggregation (reference phase B's hot
+    loop, ``evel_her2st.py:174-187``). All inputs are generated on-device —
+    a host->TPU transfer of this much data over the tunnel would dominate."""
+    import jax.numpy as jnp
+
+    from mclstexp_tpu.infer import embed
+    from mclstexp_tpu.ops.retrieval import retrieve_and_aggregate
+
+    N_EVAL, N_KEYS, TOP_K = n_eval, n_keys, top_k
+
+    kp, ke, kx, kk, kg = jax.random.split(jax.random.PRNGKey(1), 5)
+    prepared = {
+        "n": N_EVAL,
+        "patches": jax.random.bits(kp, (N_EVAL, image, image, 3), jnp.uint8),
+        "expression": jax.random.normal(ke, (N_EVAL, spot_dim), jnp.float32),
+        "positions": jax.random.randint(kx, (N_EVAL, 2), 0, 64, jnp.int32),
+    }
+    jax.block_until_ready(prepared["patches"])
+
+    def sweep_once():
+        return embed.compute_embeddings(
+            model, state.params, state.batch_stats, sections=[],
+            batch_size=32, prepared=prepared,
+        )
+
+    t0 = time.perf_counter()
+    img, _ = sweep_once()
+    print(f"eval sweep compile+run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    img, _ = sweep_once()
+    dt_sweep = time.perf_counter() - t0
+    eval_spots_per_sec = N_EVAL / dt_sweep
+    print(
+        f"eval sweep: {N_EVAL} spots x 2 towers in {dt_sweep:.3f}s "
+        f"({eval_spots_per_sec:.0f} spots/s)",
+        file=sys.stderr,
+    )
+
+    key_emb = jax.random.normal(kk, (N_KEYS, img.shape[1]), jnp.float32)
+    key_expr = jax.random.normal(kg, (N_KEYS, spot_dim), jnp.float32)
+    jax.block_until_ready((key_emb, key_expr))
+
+    t0 = time.perf_counter()
+    retrieve_and_aggregate(key_emb, key_expr, img, top_k=TOP_K, weight_ord=1)
+    print(f"retrieval compile+run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    retrieve_and_aggregate(key_emb, key_expr, img, top_k=TOP_K, weight_ord=1)
+    dt_ret = time.perf_counter() - t0
+    retrieval_qps = N_EVAL / dt_ret
+    print(
+        f"retrieval: {N_EVAL} queries x {N_KEYS} keys (K={TOP_K}) in "
+        f"{dt_ret:.3f}s ({retrieval_qps:.0f} queries/s)",
+        file=sys.stderr,
+    )
+    return eval_spots_per_sec, retrieval_qps
 
 
 if __name__ == "__main__":

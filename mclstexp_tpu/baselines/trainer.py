@@ -44,16 +44,20 @@ class BaselineConfig:
     n_genes: int = 785
     patch_size: int = 112  # all three slide-level baselines use 112px figs
     n_pos: int = 64
-    lr: float = 1e-5
-    weight_decay: float = 0.0
+    lr: Optional[float] = None  # None -> per-family reference default
+    weight_decay: Optional[float] = None  # None -> per-family reference default
     max_epochs: int = 100
     seed: int = 0
     bucket: int = 128  # slide padding granularity
     # Hist2ST extras (reference HIST2ST_train.py defaults: zinb .25, bake 5, lamb .5)
     zinb_coef: float = 0.25
     nb: bool = False
-    bake: int = 0  # augmented distillation passes (0 disables)
+    bake: Optional[int] = None  # augmented distillation passes; None -> family default
     lamb: float = 0.5
+    # Hist2ST LR schedule (reference HIST2ST.py:237: StepLR(step_size=50, gamma=0.9),
+    # stepped per epoch by Lightning)
+    lr_step_epochs: int = 50
+    lr_gamma: float = 0.9
     # graph (Hist2ST uses k=4 'grid'; THItoGene k=4)
     knn_k: int = 4
     knn_prune: str = "grid"
@@ -63,6 +67,30 @@ class BaselineConfig:
     batch_size: int = 128
     encoder_name: str = "resnet50"
     temperature: float = 1.0
+
+
+# Reference training-protocol defaults per family:
+#   HisToGene  Adam lr 1e-4            (HisToGene/vis_model.py:82)
+#   Hist2ST    Adam lr 1e-5 + StepLR   (His2ST/HIST2ST_train.py:21, HIST2ST.py:237)
+#   THItoGene  Adam lr 1e-4            (THItoGene/vis_model.py:90)
+#   BLEEP      AdamW lr 1e-3 wd 1e-3   (Bleep/config.py:7-8, BLEEP_main.py:154-156)
+_FAMILY_LR = {"histogene": 1e-4, "hist2st": 1e-5, "thitogene": 1e-4, "bleep": 1e-3}
+_FAMILY_WD = {"histogene": 0.0, "hist2st": 0.0, "thitogene": 0.0, "bleep": 1e-3}
+
+
+def resolve_lr(cfg: BaselineConfig) -> float:
+    return cfg.lr if cfg.lr is not None else _FAMILY_LR[cfg.model]
+
+
+def resolve_weight_decay(cfg: BaselineConfig) -> float:
+    return cfg.weight_decay if cfg.weight_decay is not None else _FAMILY_WD[cfg.model]
+
+
+def resolve_bake(cfg: BaselineConfig) -> int:
+    # reference Hist2ST default --bake 5 (HIST2ST_train.py:24); others have none
+    if cfg.bake is not None:
+        return cfg.bake
+    return 5 if cfg.model == "hist2st" else 0
 
 
 def build_baseline(cfg: BaselineConfig):
@@ -149,6 +177,7 @@ def _bake_augment(key: jax.Array, patches: jax.Array, n_bake: int) -> jax.Array:
 def make_slide_step(model, cfg: BaselineConfig) -> Callable:
     """Jitted per-slide train step for the regression baselines."""
     uses_adj = cfg.model in ("hist2st", "thitogene")
+    n_bake = resolve_bake(cfg)
 
     def step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         drop_rng, bake_rng = jax.random.split(rng)
@@ -185,10 +214,10 @@ def make_slide_step(model, cfg: BaselineConfig) -> Callable:
                         batch["counts"], m, d, pi, batch["size_factors"]
                     )
                 loss = loss + cfg.zinb_coef * ll
-            if cfg.model == "hist2st" and cfg.bake > 0:
-                baked = _bake_augment(bake_rng, patches, cfg.bake)
+            if cfg.model == "hist2st" and n_bake > 0:
+                baked = _bake_augment(bake_rng, patches, n_bake)
                 preds = []
-                for i in range(cfg.bake):
+                for i in range(n_bake):
                     (bp, _, _), _ = apply_model(params, baked[i], True)
                     preds.append(bp)
                 new_pred = jnp.mean(jnp.stack(preds), axis=0)
@@ -201,8 +230,37 @@ def make_slide_step(model, cfg: BaselineConfig) -> Callable:
     return jax.jit(step, donate_argnums=(0,))
 
 
+def baseline_optimizer(
+    cfg: BaselineConfig, steps_per_epoch: int = 1
+) -> "optax.GradientTransformation":
+    """The reference family's optimizer chain (see _FAMILY_LR table).
+
+    Hist2ST additionally carries StepLR(step_size=50, gamma=0.9) stepped once
+    per epoch (reference ``HIST2ST.py:234-238``); with a known steps_per_epoch
+    that is exactly lr * gamma^((step // steps_per_epoch) // 50)."""
+    import optax
+
+    lr = resolve_lr(cfg)
+    wd = resolve_weight_decay(cfg)
+    if cfg.model == "bleep":
+        # torch.optim.AdamW == optax.adamw (decoupled decay)
+        return optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=wd)
+    if cfg.model == "hist2st" and cfg.lr_step_epochs > 0:
+        spe = max(1, steps_per_epoch)
+
+        def schedule(step):
+            epoch = step // spe
+            return lr * cfg.lr_gamma ** (epoch // cfg.lr_step_epochs)
+
+        return torch_adam(schedule, wd)
+    return torch_adam(lr, wd)
+
+
 def init_baseline(
-    cfg: BaselineConfig, section: Section, rng: Optional[jax.Array] = None
+    cfg: BaselineConfig,
+    section: Section,
+    rng: Optional[jax.Array] = None,
+    steps_per_epoch: int = 1,
 ) -> Tuple[Any, TrainState]:
     model = build_baseline(cfg)
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
@@ -228,7 +286,7 @@ def init_baseline(
             variables = _init()
     else:
         variables = _init()
-    tx = torch_adam(cfg.lr, cfg.weight_decay)
+    tx = baseline_optimizer(cfg, steps_per_epoch)
     params = variables["params"]
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
@@ -252,7 +310,8 @@ def train_baseline_fold(
     """Leave-one-out training of a slide-level baseline."""
     logger = logger or MetricLogger()
     train_secs, _ = split_fold(sections, fold)
-    model, state = init_baseline(cfg, train_secs[0])
+    # one optimizer step per slide per epoch -> steps_per_epoch = #slides
+    model, state = init_baseline(cfg, train_secs[0], steps_per_epoch=len(train_secs))
     step_fn = make_slide_step(model, cfg)
     uses_adj = cfg.model in ("hist2st", "thitogene")
 

@@ -86,7 +86,7 @@ def _build_config(args) -> "Config":
         cfg.train,
         batch_size=args.batch_size,
         max_epochs=args.max_epochs,
-        lr=args.lr,
+        lr=args.lr if args.lr is not None else cfg.train.lr,
         weight_decay=args.weight_decay,
         seed=args.seed,
         checkpoint_dir=args.checkpoint_dir,
@@ -176,6 +176,14 @@ def cmd_train(args) -> int:
     return 0
 
 
+def _print_averages(avg) -> None:
+    # the reference's four printed averages (evel_her2st.py:223-226)
+    print(f"avg heg pcc: {avg['heg_pcc']:.4f}")
+    print(f"avg hvg pcc: {avg['hvg_pcc']:.4f}")
+    print(f"Mean Squared Error (MSE): {avg['mse']:.4f}")
+    print(f"Mean Absolute Error (MAE): {avg['mae']:.4f}")
+
+
 def cmd_eval(args) -> int:
     """Full LOO protocol: per-fold embedding dump + retrieval metrics
     (the reference ``evel_*.py`` flow), printing the same four averages."""
@@ -184,6 +192,35 @@ def cmd_eval(args) -> int:
     from mclstexp_tpu.infer import embed, evaluate
     from mclstexp_tpu.train import checkpoint as ckpt
     from mclstexp_tpu.train.state import create_train_state
+
+    if args.from_embeddings:
+        # Score pre-computed embedding dumps (reference phase B,
+        # evel_her2st.py:143-226) — no raw data, model, or checkpoint needed.
+        # Ground truth comes from the preprocessed gene x spot matrices, the
+        # same files the reference's phase B reads (evel_her2st.py:136).
+        root = os.path.join(cfg.data.preprocessed_root, cfg.data.dataset)
+        names = sorted(
+            d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+        )
+        expressions = [
+            np.load(os.path.join(root, nm, "preprocessed_matrix.npy"))
+            .T.astype(np.float32)
+            for nm in names
+        ]
+        results = evaluate.evaluate_from_embedding_dumps(
+            args.from_embeddings,
+            expressions,
+            top_k=cfg.eval.top_k,
+            weight_ord=cfg.eval.weight_ord,
+            folds=[args.fold] if args.fold is not None else None,
+            prediction_dir=cfg.eval.prediction_dir,
+            section_names=names,
+        )
+        _print_averages(results["avg"])
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump(results, f, indent=2)
+        return 0
 
     sections = _load_sections(cfg)
     sizes = [s.num_spots for s in sections]
@@ -202,11 +239,19 @@ def cmd_eval(args) -> int:
     prepared = embed.prepare_eval_arrays(sections)  # one H2D for all folds
     img_per_fold, spot_per_fold = {}, {}
     for fold in folds:
-        ckpt_dir = ckpt.fold_checkpoint_dir(
-            cfg.train.checkpoint_dir, cfg.data.dataset, sections[fold].name, fold
-        )
-        restored = ckpt.restore_checkpoint(ckpt_dir)
-        state = ckpt.apply_checkpoint(state0, restored)
+        if args.torch_checkpoint:
+            # score a reference-trained torch .pt directly (key shims +
+            # tensor conversion; evel_her2st.py:32-39's load path)
+            from mclstexp_tpu.models.image.torch_import import load_into_state
+
+            pt = args.torch_checkpoint.format(fold=fold, name=sections[fold].name)
+            state = load_into_state(state0, pt, cfg.model)
+        else:
+            ckpt_dir = ckpt.fold_checkpoint_dir(
+                cfg.train.checkpoint_dir, cfg.data.dataset, sections[fold].name, fold
+            )
+            restored = ckpt.restore_checkpoint(ckpt_dir)
+            state = ckpt.apply_checkpoint(state0, restored)
         img, spot = embed.compute_embeddings(
             model, state.params, state.batch_stats, sections, cfg.eval.batch_size,
             eval_augment=cfg.data.eval_time_augment, prepared=prepared,
@@ -244,12 +289,7 @@ def cmd_eval(args) -> int:
             k: float(np.mean([m[k] for m in results["per_fold"]]))
             for k in results["per_fold"][0]
         }
-    avg = results["avg"]
-    # the reference's four printed averages (evel_her2st.py:223-226)
-    print(f"avg heg pcc: {avg['heg_pcc']:.4f}")
-    print(f"avg hvg pcc: {avg['hvg_pcc']:.4f}")
-    print(f"Mean Squared Error (MSE): {avg['mse']:.4f}")
-    print(f"Mean Absolute Error (MAE): {avg['mae']:.4f}")
+    _print_averages(results["avg"])
     if args.json:
         with open(args.json, "w") as f:
             json.dump(results, f, indent=2)
@@ -372,6 +412,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     _add_model_flags(p); _add_data_flags(p)
     p.add_argument("--fold", type=int, default=None)
     p.add_argument("--save-embeddings", action="store_true")
+    p.add_argument("--from-embeddings", type=str, default="",
+                   help="score pre-computed embedding dumps under this root "
+                        "(per-fold embeddings_<fold>/ dirs in the reference "
+                        "layout); skips model + checkpoint entirely")
+    p.add_argument("--torch-checkpoint", type=str, default="",
+                   help="reference .pt template, e.g. "
+                        "'model_result/her2st/{name}/best_{fold}.pt'; scores "
+                        "reference-trained checkpoints without retraining")
     p.add_argument("--json", type=str, default="", help="write full results JSON")
     p.set_defaults(fn=cmd_eval)
 
@@ -388,9 +436,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                    choices=["histogene", "hist2st", "thitogene", "bleep"])
     p.add_argument("--fold", type=int, default=0)
     p.add_argument("--zinb", type=float, default=0.25)
-    p.add_argument("--bake", type=int, default=0)
+    p.add_argument("--bake", type=int, default=None,
+                   help="Hist2ST distillation passes; default = reference's 5")
     p.add_argument("--lamb", type=float, default=0.5)
-    p.set_defaults(fn=cmd_baseline)
+    # let each family resolve its reference default lr (trainer._FAMILY_LR)
+    p.set_defaults(fn=cmd_baseline, lr=None)
 
     p = sub.add_parser("bench", help="run the throughput benchmark")
     p.set_defaults(fn=cmd_bench)

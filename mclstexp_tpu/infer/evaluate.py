@@ -85,12 +85,63 @@ def evaluate_folds(
 
 
 def load_reference_embeddings(
-    embedding_dir: str, num_sections: int
-) -> tuple[List[np.ndarray], np.ndarray]:
-    """Read one fold's dump in the reference file layout; returns
-    (per-section spot embeddings (N_i, P), stacked later by the caller)."""
+    embedding_dir: str, num_sections: int, fold: int
+) -> tuple[np.ndarray, List[np.ndarray]]:
+    """Read one fold's dump in the reference file layout
+    (``evel_her2st.py:145-147``: transposed per-section
+    ``spot_embeddings_{i+1}.npy`` (P, N_i) plus the held-out section's
+    ``img_embeddings_{fold+1}.npy``). Returns (image_query (N_f, P),
+    per-section spot embeddings [(N_i, P)])."""
     spots = [
-        np.load(os.path.join(embedding_dir, f"spot_embeddings_{i + 1}.npy")).T
+        np.asarray(
+            np.load(os.path.join(embedding_dir, f"spot_embeddings_{i + 1}.npy")).T,
+            dtype=np.float32,
+        )
         for i in range(num_sections)
     ]
-    return spots
+    image_query = np.asarray(
+        np.load(os.path.join(embedding_dir, f"img_embeddings_{fold + 1}.npy")).T,
+        dtype=np.float32,
+    )
+    return image_query, spots
+
+
+def evaluate_from_embedding_dumps(
+    root: str,
+    expressions: Sequence[np.ndarray],
+    top_k: int,
+    weight_ord: int = 1,
+    folds: Optional[Sequence[int]] = None,
+    prediction_dir: Optional[str] = None,
+    section_names: Optional[Sequence[str]] = None,
+) -> Dict[str, object]:
+    """Score pre-computed embedding dumps — the reference's phase B
+    (``evel_her2st.py:143-226``) — without a model or checkpoint.
+
+    ``root`` holds per-fold ``embeddings_{fold}/`` directories in the
+    reference layout (written by either the reference's ``save_embeddings``
+    or this repo's ``embed.dump_embeddings``); ``expressions`` are the
+    per-section ground-truth (N_i, G) matrices in the same section order.
+    This is the interop path: a reference-trained checkpoint's dumps can be
+    scored here directly."""
+    n = len(expressions)
+    folds = list(range(n)) if folds is None else list(folds)
+    per_fold = []
+    for fold in folds:
+        image_query, spots = load_reference_embeddings(
+            os.path.join(root, f"embeddings_{fold}"), n, fold
+        )
+        pred_path = None
+        if prediction_dir and section_names:
+            pred_path = os.path.join(
+                prediction_dir, section_names[fold],
+                "matched_spot_expression_pred.npy",
+            )
+        per_fold.append(
+            evaluate_fold(
+                fold, image_query, spots, expressions,
+                top_k=top_k, weight_ord=weight_ord, prediction_path=pred_path,
+            )
+        )
+    avg = {k: float(np.mean([m[k] for m in per_fold])) for k in per_fold[0]}
+    return {"per_fold": per_fold, "avg": avg, "folds": folds}

@@ -39,12 +39,17 @@ class TrainState(struct.PyTreeNode):
         )
 
 
-def torch_adam(lr: float, weight_decay: float) -> optax.GradientTransformation:
-    """torch.optim.Adam with coupled weight_decay (L2-to-gradient)."""
+def torch_adam(lr, weight_decay: float) -> optax.GradientTransformation:
+    """torch.optim.Adam with coupled weight_decay (L2-to-gradient).
+
+    `lr` may be a float or an optax schedule (step -> lr); the latter
+    reproduces torch's epoch-interval LR schedulers when the schedule is
+    built from a known steps-per-epoch (e.g. Hist2ST's StepLR,
+    reference ``baselines/His2ST/HIST2ST.py:237``)."""
     return optax.chain(
         optax.add_decayed_weights(weight_decay),
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
-        optax.scale(-lr),
+        optax.scale_by_learning_rate(lr),
     )
 
 

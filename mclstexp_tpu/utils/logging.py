@@ -18,6 +18,7 @@ class MetricLogger:
     def __init__(self, path: Optional[str] = None, echo: bool = True):
         self.path = path
         self.echo = echo
+        self.records: list = []  # in-memory copy of every logged record
         if path:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             self._f = open(path, "a")
@@ -26,6 +27,7 @@ class MetricLogger:
 
     def log(self, **metrics: Any):
         rec = {"time": time.time(), **metrics}
+        self.records.append(rec)
         if self._f:
             self._f.write(json.dumps(rec) + "\n")
             self._f.flush()

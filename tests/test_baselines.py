@@ -212,6 +212,92 @@ def test_histogene_training_learns(tmp_path):
     assert pred.shape == (24, 12)
 
 
+def test_family_protocol_defaults():
+    """Reference training-protocol defaults resolve per family:
+    HisToGene/THItoGene Adam 1e-4 (vis_model.py:82/:90), Hist2ST Adam 1e-5 +
+    StepLR(50, 0.9) + bake=5 (HIST2ST_train.py:21,24; HIST2ST.py:237),
+    BLEEP AdamW 1e-3/wd 1e-3 (Bleep/config.py:7-8)."""
+    from mclstexp_tpu.baselines.trainer import (
+        baseline_optimizer,
+        resolve_bake,
+        resolve_lr,
+        resolve_weight_decay,
+    )
+
+    assert resolve_lr(BaselineConfig(model="histogene")) == 1e-4
+    assert resolve_lr(BaselineConfig(model="thitogene")) == 1e-4
+    assert resolve_lr(BaselineConfig(model="hist2st")) == 1e-5
+    assert resolve_lr(BaselineConfig(model="bleep")) == 1e-3
+    assert resolve_weight_decay(BaselineConfig(model="bleep")) == 1e-3
+    assert resolve_weight_decay(BaselineConfig(model="hist2st")) == 0.0
+    assert resolve_bake(BaselineConfig(model="hist2st")) == 5
+    assert resolve_bake(BaselineConfig(model="histogene")) == 0
+    assert resolve_bake(BaselineConfig(model="hist2st", bake=2)) == 2
+    # explicit lr overrides the family default
+    assert resolve_lr(BaselineConfig(model="hist2st", lr=3e-4)) == 3e-4
+
+    # StepLR semantics: lr * 0.9^(epoch // 50), epoch = step // steps_per_epoch.
+    # Drive the chain with a constant gradient; Adam's steady-state update
+    # magnitude equals the lr, so the 0.9x drop lands exactly at epoch 50.
+    cfg = BaselineConfig(model="hist2st")
+    tx = baseline_optimizer(cfg, steps_per_epoch=2)
+    params = {"w": jnp.ones((3,))}
+    opt_state = tx.init(params)
+    g = {"w": jnp.ones((3,))}
+    mags = []
+    for _ in range(101):
+        updates, opt_state = tx.update(g, opt_state, params)
+        mags.append(float(jnp.abs(updates["w"][0])))
+    # Adam's moment warmup settles quickly; steady-state magnitude == lr
+    assert np.isclose(mags[98], 1e-5, rtol=1e-3)
+    assert np.isclose(mags[100], 0.9e-5, rtol=1e-3)
+
+
+def test_hist2st_training_learns():
+    sections = synthetic.make_dataset(num_sections=3, num_spots=16, num_genes=8,
+                                      patch_size=14, seed=7)
+    cfg = BaselineConfig(model="hist2st", n_genes=8, patch_size=14, bucket=16,
+                         max_epochs=10, lr=3e-4, bake=1, zinb_coef=0.25,
+                         seed=0)
+    model, state0 = init_baseline(cfg, sections[1])
+    before = evaluate_baseline_fold(cfg, sections, 0, model, state0)
+    model, state = train_baseline_fold(cfg, sections, 0,
+                                       logger=MetricLogger(echo=False))
+    after = evaluate_baseline_fold(cfg, sections, 0, model, state)
+    assert after["mse"] < before["mse"]
+
+
+def test_thitogene_training_learns():
+    # THItoGene's ODConv+capsnet stack needs the reference patch size (112px,
+    # THItoGene/dataset.py fig_size); smaller patches collapse to 0 spatial.
+    sections = synthetic.make_dataset(num_sections=3, num_spots=12, num_genes=8,
+                                      patch_size=112, seed=9)
+    cfg = BaselineConfig(model="thitogene", n_genes=8, patch_size=112, bucket=16,
+                         max_epochs=6, lr=3e-4, seed=0)
+    model, state0 = init_baseline(cfg, sections[1])
+    before = evaluate_baseline_fold(cfg, sections, 0, model, state0)
+    model, state = train_baseline_fold(cfg, sections, 0,
+                                       logger=MetricLogger(echo=False))
+    after = evaluate_baseline_fold(cfg, sections, 0, model, state)
+    assert after["mse"] < before["mse"]
+
+
+def test_bleep_training_learns():
+    from mclstexp_tpu.baselines.trainer import bleep_embeddings, train_bleep_fold
+
+    sections = synthetic.make_dataset(num_sections=3, num_spots=16, num_genes=12,
+                                      patch_size=16, seed=11)
+    cfg = BaselineConfig(model="bleep", n_genes=12, encoder_name="tiny_cnn",
+                         batch_size=16, max_epochs=12, seed=0)
+    logger = MetricLogger(echo=False)
+    model, state = train_bleep_fold(cfg, sections, 0, logger=logger)
+    losses_seen = [r["loss"] for r in logger.records if "loss" in r]
+    assert losses_seen[-1] < losses_seen[0]
+    img, spot = bleep_embeddings(model, state, sections, batch_size=16)
+    assert img.shape == spot.shape == (48, 256)
+    assert np.all(np.isfinite(img)) and np.all(np.isfinite(spot))
+
+
 def test_hist2st_training_step_with_zinb_and_bake():
     """One Hist2ST slide step incl. ZINB aux loss and bake distillation."""
     from mclstexp_tpu.baselines.trainer import init_baseline, make_slide_step
