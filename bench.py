@@ -97,19 +97,24 @@ def main():
     t0 = time.perf_counter()
     for i in range(1, WARMUP):
         state, loss = step_fn(state, device_batch, jax.random.fold_in(key, i))
-    loss.block_until_ready()
+    float(loss)  # drain the device queue before the timed region starts
     print(f"warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
     for i in range(STEPS):
         state, loss = step_fn(state, device_batch, jax.random.fold_in(key, 100 + i))
-    loss.block_until_ready()
+    # Time to the final loss VALUE on the host, not block_until_ready():
+    # on the remote transport block_until_ready can resolve before device
+    # completion (measured: 20 chained DenseNet steps "completing" in 130 ms
+    # vs 1.47 s to the actual value — PROFILE_r02.md). The readback is a true
+    # data dependency on the whole chain.
+    final_loss = float(loss)
     dt = time.perf_counter() - t0
 
     spots_per_sec = BATCH * STEPS / dt
     print(
         f"steps: {STEPS} x B={BATCH} in {dt:.3f}s "
-        f"({dt / STEPS * 1000:.1f} ms/step, loss={float(loss):.4f})",
+        f"({dt / STEPS * 1000:.1f} ms/step, loss={final_loss:.4f})",
         file=sys.stderr,
     )
 

@@ -155,7 +155,7 @@ def _bake_augment(key: jax.Array, patches: jax.Array, n_bake: int) -> jax.Array:
     """Hist2ST's distillation augmentation (HIST2ST.py:53-57,160-166):
     RandomGrayscale(0.1) + RandomRotation(90) + RandomHorizontalFlip(0.2),
     applied to the whole slide per bake."""
-    luma = jnp.array([0.299, 0.587, 0.114], dtype=jnp.float32)
+    from mclstexp_tpu.ops.augment import _luma
 
     def one_bake(k):
         kg, kr, kf = jax.random.split(k, 3)
@@ -164,7 +164,7 @@ def _bake_augment(key: jax.Array, patches: jax.Array, n_bake: int) -> jax.Array:
         flip = jax.random.bernoulli(kf, 0.2)
 
         def per_img(im):
-            g = (im @ luma)[..., None] * jnp.ones_like(im)
+            g = _luma(im)[..., None] * jnp.ones_like(im)
             im2 = jnp.where(gray, g, im)
             im2 = rotate_image(im2, angle, order=0)
             return jnp.where(flip, im2[:, ::-1, :], im2)

@@ -41,6 +41,12 @@ class ModelConfig:
     # "ring" (sequence-parallel over a "seq" mesh axis for mega-slides).
     attn_backend: str = "xla"
     pretrained_path: Optional[str] = None  # torch state_dict (.pt) to import
+    # Rematerialize image-tower dense layers in the backward pass. Saves
+    # activation HBM *capacity* (larger batches/towers fit); measured
+    # net-NEGATIVE for step time on v5e at B=128 (82.5 vs 77.8 ms,
+    # PROFILE_r02.md), so default off. Numerics equal to bf16 recompute
+    # noise; encoders without wired support ignore it (registry.py).
+    remat_tower: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

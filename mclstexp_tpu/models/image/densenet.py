@@ -66,11 +66,21 @@ class DenseBlock(nn.Module):
     growth_rate: int
     bn_size: int
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        # remat=True rematerializes each dense layer in the backward pass:
+        # only the concat buffer (needed anyway) is saved, the per-layer
+        # BN/ReLU/conv intermediates are recomputed. Measured NET-NEGATIVE
+        # for step time on v5e at B=128 (82.5 vs 77.8 ms — recomputed
+        # activations still round-trip HBM; PROFILE_r02.md); useful only
+        # when HBM capacity, not time, is the limit (larger B or towers).
+        layer_cls = (
+            nn.remat(DenseLayer, static_argnums=(2,)) if self.remat else DenseLayer
+        )
         for i in range(self.num_layers):
-            new = DenseLayer(
+            new = layer_cls(
                 self.growth_rate, self.bn_size, self.dtype, name=f"denselayer{i + 1}"
             )(x, train)
             x = jnp.concatenate([x, new], axis=-1)
@@ -103,6 +113,7 @@ class DenseNetEncoder(nn.Module):
     bn_size: int = 4
     init_features: int = 64
     dtype: Dtype = jnp.float32
+    remat: bool = False  # rematerialize dense layers in backward (see DenseBlock)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -123,7 +134,7 @@ class DenseNetEncoder(nn.Module):
         for i, num_layers in enumerate(self.block_config):
             x = DenseBlock(
                 num_layers, self.growth_rate, self.bn_size, self.dtype,
-                name=f"denseblock{i + 1}",
+                remat=self.remat, name=f"denseblock{i + 1}",
             )(x, train)
             features += num_layers * self.growth_rate
             if i != len(self.block_config) - 1:
@@ -139,5 +150,5 @@ class DenseNetEncoder(nn.Module):
         return global_avg_pool(x).astype(jnp.float32)
 
 
-def densenet121(dtype=jnp.float32) -> DenseNetEncoder:
-    return DenseNetEncoder(dtype=dtype)
+def densenet121(dtype=jnp.float32, remat: bool = False) -> DenseNetEncoder:
+    return DenseNetEncoder(dtype=dtype, remat=remat)

@@ -25,8 +25,18 @@ ENCODERS = {
 }
 
 
-def build_encoder(name: str, dtype=jnp.float32) -> Tuple[nn.Module, int]:
+# Towers where per-layer rematerialization is wired (saves activation HBM
+# capacity for larger batches/towers; measured slower for step time at the
+# flagship shapes — see models/image/densenet.py:DenseBlock).
+REMAT_CAPABLE = {"densenet121"}
+
+
+def build_encoder(
+    name: str, dtype=jnp.float32, remat: bool = False
+) -> Tuple[nn.Module, int]:
     if name not in ENCODERS:
         raise KeyError(f"unknown image encoder {name!r}; have {sorted(ENCODERS)}")
     factory, dim = ENCODERS[name]
+    if remat and name in REMAT_CAPABLE:
+        return factory(dtype=dtype, remat=True), dim
     return factory(dtype=dtype), dim

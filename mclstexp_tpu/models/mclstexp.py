@@ -43,7 +43,9 @@ class MclSTExp(nn.Module):
     def setup(self):
         cfg = self.config
         dtype = _dtype_of(cfg)
-        encoder, feat_dim = build_encoder(cfg.encoder_name, dtype=dtype)
+        encoder, feat_dim = build_encoder(
+            cfg.encoder_name, dtype=dtype, remat=cfg.remat_tower
+        )
         if feat_dim != cfg.image_dim:
             raise ValueError(
                 f"encoder {cfg.encoder_name!r} emits {feat_dim}-d features but "

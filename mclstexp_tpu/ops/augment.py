@@ -48,6 +48,17 @@ import jax.numpy as jnp
 _LUMA = jnp.array([0.299, 0.587, 0.114], dtype=jnp.float32)
 
 
+def _luma(img: jax.Array) -> jax.Array:
+    """ITU-R 601-2 grayscale as elementwise math, last axis = RGB.
+
+    Written as explicit per-channel multiply-adds rather than
+    ``img @ _LUMA`` so the K=3/N=1 dot never reaches the MXU's 128x128
+    tiling (same values either way; see PROFILE_r02.md for the round-2
+    augmentation cost analysis)."""
+    w = _LUMA.astype(img.dtype)
+    return img[..., 0] * w[0] + img[..., 1] * w[1] + img[..., 2] * w[2]
+
+
 def _blend(img1: jax.Array, img2: jax.Array, ratio: jax.Array) -> jax.Array:
     ratio = jnp.asarray(ratio, img1.dtype)
     one = jnp.asarray(1.0, img1.dtype)
@@ -60,14 +71,14 @@ def _brightness(img: jax.Array, f: jax.Array) -> jax.Array:
 
 def _contrast(img: jax.Array, f: jax.Array) -> jax.Array:
     # per-image mean of the grayscale image (torchvision semantics)
-    gray = img @ _LUMA.astype(img.dtype)
+    gray = _luma(img)
     axes = tuple(range(gray.ndim - 2, gray.ndim))
     gm = jnp.mean(gray, axis=axes, keepdims=True)[..., None]
     return _blend(img, gm.astype(img.dtype), f)
 
 
 def _saturation(img: jax.Array, f: jax.Array) -> jax.Array:
-    gray = (img @ _LUMA.astype(img.dtype))[..., None]
+    gray = _luma(img)[..., None]
     return _blend(img, gray, f)
 
 
@@ -84,6 +95,38 @@ def _jitter_ops(fb, fc, fs):
     )
 
 
+# ---- channel-major jitter core --------------------------------------------
+# The jitter pipeline runs on (..., 3, H, W) so the cross-channel gray math
+# (luma, blends toward gray) reads contiguous per-channel planes and W sits
+# on the VPU lanes; the two moveaxis shuffles are cheap. Numerically
+# identical to the channels-last composition (pinned by
+# tests/test_augment.py::test_channel_major_jitter_matches_channels_last).
+# Full augmentation is ~6 ms of the ~78 ms B=128 train step (PROFILE_r02.md).
+
+
+def _luma_cm(x: jax.Array) -> jax.Array:
+    """ITU-R 601-2 grayscale, channel-major: (..., 3, H, W) -> (..., H, W)."""
+    w = _LUMA.astype(x.dtype)
+    return x[..., 0, :, :] * w[0] + x[..., 1, :, :] * w[1] + x[..., 2, :, :] * w[2]
+
+
+def _contrast_cm(x: jax.Array, f: jax.Array) -> jax.Array:
+    gm = jnp.mean(_luma_cm(x), axis=(-2, -1))[..., None, None, None]
+    return _blend(x, gm.astype(x.dtype), f)
+
+
+def _saturation_cm(x: jax.Array, f: jax.Array) -> jax.Array:
+    return _blend(x, _luma_cm(x)[..., None, :, :], f)
+
+
+def _jitter_ops_cm(fb, fc, fs):
+    return (
+        lambda x: _blend(x, jnp.zeros_like(x), fb),  # brightness
+        lambda x: _contrast_cm(x, fc),
+        lambda x: _saturation_cm(x, fs),
+    )
+
+
 def color_jitter_batch(key: jax.Array, imgs: jax.Array) -> jax.Array:
     """ColorJitter(0.5, 0.5, 0.5) over a (B, H, W, 3) batch: independent
     per-image factors, batch-shared op order (true 6-way conditional)."""
@@ -92,36 +135,41 @@ def color_jitter_batch(key: jax.Array, imgs: jax.Array) -> jax.Array:
     fb = jax.random.uniform(k_b, (b, 1, 1, 1), minval=0.5, maxval=1.5)
     fc = jax.random.uniform(k_c, (b, 1, 1, 1), minval=0.5, maxval=1.5)
     fs = jax.random.uniform(k_s, (b, 1, 1, 1), minval=0.5, maxval=1.5)
-    ops = _jitter_ops(fb, fc, fs)
+    ops = _jitter_ops_cm(fb.astype(imgs.dtype), fc.astype(imgs.dtype),
+                         fs.astype(imgs.dtype))
     perm_idx = jax.random.randint(k_perm, (), 0, len(_PERMS))
 
     def apply_perm(p):
-        def fn(im):
+        def fn(x):
             for j in p:
-                im = ops[j](im)
-            return im
+                x = ops[j](x)
+            return x
         return fn
 
-    return jax.lax.switch(perm_idx, [apply_perm(p) for p in _PERMS], imgs)
+    x = jnp.moveaxis(imgs, -1, 1)  # (B, 3, H, W): W on the vector lanes
+    x = jax.lax.switch(perm_idx, [apply_perm(p) for p in _PERMS], x)
+    return jnp.moveaxis(x, 1, -1)
 
 
 def color_jitter(key: jax.Array, img: jax.Array) -> jax.Array:
     """Single-image form (per-image random order — torchvision-exact)."""
     k_perm, k_b, k_c, k_s = jax.random.split(key, 4)
-    fb = jax.random.uniform(k_b, (), minval=0.5, maxval=1.5)
-    fc = jax.random.uniform(k_c, (), minval=0.5, maxval=1.5)
-    fs = jax.random.uniform(k_s, (), minval=0.5, maxval=1.5)
-    ops = _jitter_ops(fb, fc, fs)
+    fb = jax.random.uniform(k_b, (), minval=0.5, maxval=1.5).astype(img.dtype)
+    fc = jax.random.uniform(k_c, (), minval=0.5, maxval=1.5).astype(img.dtype)
+    fs = jax.random.uniform(k_s, (), minval=0.5, maxval=1.5).astype(img.dtype)
+    ops = _jitter_ops_cm(fb, fc, fs)
     perm_idx = jax.random.randint(k_perm, (), 0, len(_PERMS))
 
     def apply_perm(p):
-        def fn(im):
+        def fn(x):
             for j in p:
-                im = ops[j](im)
-            return im
+                x = ops[j](x)
+            return x
         return fn
 
-    return jax.lax.switch(perm_idx, [apply_perm(p) for p in _PERMS], img)
+    x = jnp.moveaxis(img, -1, 0)  # (3, H, W)
+    x = jax.lax.switch(perm_idx, [apply_perm(p) for p in _PERMS], x)
+    return jnp.moveaxis(x, 0, -1)
 
 
 def rotate_image(

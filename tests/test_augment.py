@@ -150,3 +150,24 @@ def test_extract_patches_border_zero_fill(rng):
     # top-left quadrant comes from outside the slide -> zeros
     assert got[0, 0, 0, 0] == 0
     assert got[0, 7, 7, 0] == 200
+
+
+def test_channel_major_jitter_matches_channels_last(rng):
+    """The channel-major jitter core (TPU lane-occupancy fix, PROFILE_r02.md)
+    must be numerically identical to the channels-last composition."""
+    imgs = jnp.asarray(rng.uniform(size=(2, 8, 8, 3)).astype(np.float32))
+    fb = jnp.full((2, 1, 1, 1), 1.3, jnp.float32)
+    fc = jnp.full((2, 1, 1, 1), 0.7, jnp.float32)
+    fs = jnp.full((2, 1, 1, 1), 1.1, jnp.float32)
+    ops = augment._jitter_ops(fb, fc, fs)
+    ops_cm = augment._jitter_ops_cm(fb, fc, fs)
+    for p in augment._PERMS:
+        want = imgs
+        for j in p:
+            want = ops[j](want)
+        x = jnp.moveaxis(imgs, -1, 1)
+        for j in p:
+            x = ops_cm[j](x)
+        got = jnp.moveaxis(x, 1, -1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)

@@ -36,6 +36,12 @@ def main():
     ap.add_argument("--image", type=int, default=224)
     ap.add_argument("--spot-dim", type=int, default=785)
     ap.add_argument("--cpu", action="store_true", help="hermetic CPU smoke run")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize tower dense layers (ModelConfig.remat_tower)")
+    ap.add_argument("--only", type=str, default="",
+                    help="comma-separated variants to run (full,no_aug,aug_only,"
+                         "img_fwd_bwd,img_fwd,spot_only); each fresh variant is "
+                         "a multi-minute tunnel compile, so run a few at a time")
     ap.add_argument("--out", type=str, default="")
     args = ap.parse_args()
 
@@ -63,7 +69,7 @@ def main():
 
     cfg_m = ModelConfig(encoder_name=args.encoder,
                         image_dim=ENCODER_DIMS[args.encoder], spot_dim=G,
-                        dtype="bfloat16")
+                        dtype="bfloat16", remat_tower=args.remat)
     cfg_t = TrainConfig(batch_size=B)
 
     rng = np.random.default_rng(0)
@@ -81,37 +87,125 @@ def main():
     batch = {k: jax.device_put(v) for k, v in host.items()}
     key = jax.random.PRNGKey(0)
     results = {}
+    if args.out and os.path.exists(args.out):
+        results.update(json.load(open(args.out)))  # accumulate across runs
+    only = set(args.only.split(",")) if args.only else None
+
+    def want(name):
+        return only is None or name in only
+
+    def flush():
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=2)
+
+    def _readback(out):
+        # Host VALUE readback: on the remote transport block_until_ready can
+        # resolve before the device finishes (PROFILE_r02.md) — only a data
+        # readback is a true completion barrier.
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(jnp.asarray(leaf).ravel()[0])
 
     def timeit(name, fn, *fnargs, steps=args.steps):
-        # chain `steps` dependent dispatches; only the last blocks
         out = fn(*fnargs, jax.random.fold_in(key, 0))
-        jax.block_until_ready(out)
+        _readback(out)
         t0 = time.perf_counter()
         for i in range(steps):
             out = fn(*fnargs, jax.random.fold_in(key, i + 1))
-        jax.block_until_ready(out)
+        _readback(out)
         ms = (time.perf_counter() - t0) / steps * 1000
         results[name] = round(ms, 2)
-        print(f"{name:14s} {ms:8.2f} ms/iter", file=sys.stderr)
+        print(f"{name:14s} {ms:8.2f} ms/iter", file=sys.stderr, flush=True)
+        flush()
         return out
 
     # ---- full step (stateful: thread state through the chain) -------------
     step_fn = make_train_step(model, augment_mode="st", donate=True)
 
-    def run_full(state0, steps):
+    def run_full(state0, steps):  # noqa: E306
         s = state0
         s, loss = step_fn(s, batch, jax.random.fold_in(key, 0))
-        loss.block_until_ready()
+        float(loss)
         t0 = time.perf_counter()
         for i in range(steps):
             s, loss = step_fn(s, batch, jax.random.fold_in(key, i + 1))
-        loss.block_until_ready()
+        float(loss)  # value readback = true completion barrier
         return s, (time.perf_counter() - t0) / steps * 1000
 
-    state, ms = run_full(state, args.steps)
-    results["full"] = round(ms, 2)
-    print(f"{'full':14s} {ms:8.2f} ms/iter", file=sys.stderr)
+    if want("full"):
+        state, ms = run_full(state, args.steps)
+        results["full"] = round(ms, 2)
+        print(f"{'full':14s} {ms:8.2f} ms/iter", file=sys.stderr, flush=True)
+        flush()
+        _cost_analysis(jax, step_fn, state, batch, key, results)
+        flush()
 
+    # ---- no-aug step (state threaded -> chained) ---------------------------
+    if want("no_aug"):
+        step_noaug = make_train_step(model, augment_mode="none", donate=False)
+        s = state
+        s, loss = step_noaug(s, batch, jax.random.fold_in(key, 0))
+        float(loss)
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            s, loss = step_noaug(s, batch, jax.random.fold_in(key, i + 1))
+        float(loss)  # value readback = true completion barrier
+        ms = (time.perf_counter() - t0) / args.steps * 1000
+        results["no_aug"] = round(ms, 2)
+        print(f"{'no_aug':14s} {ms:8.2f} ms/iter", file=sys.stderr, flush=True)
+        flush()
+        del s
+
+    # ---- augmentation alone ------------------------------------------------
+    if want("aug_only"):
+        @jax.jit
+        def aug_only(r):
+            return augment.train_augment_inline(
+                r, batch["image_u8"], dtype=jnp.bfloat16, rot_impl="paeth"
+            )
+
+        timeit("aug_only", aug_only)
+
+    # ---- image tower fwd+bwd (dummy scalar loss) ---------------------------
+    images_f = jnp.asarray(host["image_u8"]).astype(jnp.bfloat16) / 255.0
+
+    def img_loss(params, r):
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        emb, _ = model.apply(variables, images_f, train=True,
+                             mutable=["batch_stats"], rngs={"dropout": r},
+                             method=type(model).encode_image)
+        return jnp.sum(jnp.square(emb))
+
+    # params passed as arguments, not closure constants: closed-over arrays
+    # are shipped inside the remote-compile request (the 65536-entry pos
+    # tables alone are 2 x 205 MB -> HTTP 413 on the compile endpoint).
+    if want("img_fwd_bwd"):
+        img_grad = jax.jit(jax.grad(img_loss))
+        timeit("img_fwd_bwd", img_grad, state.params)
+
+    if want("img_fwd"):
+        img_fwd = jax.jit(img_loss)
+        timeit("img_fwd", img_fwd, state.params)
+
+    # ---- spot tower fwd+bwd -------------------------------------------------
+    if want("spot_only"):
+        expr = jnp.asarray(host["expression"])
+        pos = jnp.asarray(host["position"])
+
+        def spot_loss(params, r):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            emb = model.apply(variables, expr, pos, train=True,
+                              rngs={"dropout": r}, method=type(model).encode_spots)
+            return jnp.sum(jnp.square(emb))
+
+        spot_grad = jax.jit(jax.grad(spot_loss))
+        timeit("spot_only", spot_grad, state.params)
+
+    print(json.dumps(results))
+    flush()
+
+
+def _cost_analysis(jax, step_fn, state, batch, key, results):
     # cost analysis of the compiled full step
     try:
         lowered = step_fn.lower(state, batch, key)
@@ -129,58 +223,6 @@ def main():
               f"memory floor {results['roofline_memory_ms']} ms", file=sys.stderr)
     except Exception as e:
         print(f"cost_analysis unavailable: {e}", file=sys.stderr)
-
-    # ---- no-aug step -------------------------------------------------------
-    step_noaug = make_train_step(model, augment_mode="none", donate=False)
-
-    def run_noaug(r):
-        _, loss = step_noaug(state, batch, r)
-        return loss
-
-    timeit("no_aug", lambda r: run_noaug(r))
-
-    # ---- augmentation alone ------------------------------------------------
-    @jax.jit
-    def aug_only(r):
-        return augment.train_augment_inline(
-            r, batch["image_u8"], dtype=jnp.bfloat16, rot_impl="paeth"
-        )
-
-    timeit("aug_only", aug_only)
-
-    # ---- image tower fwd+bwd (dummy scalar loss) ---------------------------
-    images_f = jnp.asarray(host["image_u8"]).astype(jnp.bfloat16) / 255.0
-
-    def img_loss(params, r):
-        variables = {"params": params, "batch_stats": state.batch_stats}
-        emb, _ = model.apply(variables, images_f, train=True,
-                             mutable=["batch_stats"], rngs={"dropout": r},
-                             method=type(model).encode_image)
-        return jnp.sum(jnp.square(emb))
-
-    img_grad = jax.jit(lambda r: jax.grad(img_loss)(state.params, r))
-    timeit("img_fwd_bwd", img_grad)
-
-    img_fwd = jax.jit(lambda r: img_loss(state.params, r))
-    timeit("img_fwd", img_fwd)
-
-    # ---- spot tower fwd+bwd -------------------------------------------------
-    expr = jnp.asarray(host["expression"])
-    pos = jnp.asarray(host["position"])
-
-    def spot_loss(params, r):
-        variables = {"params": params, "batch_stats": state.batch_stats}
-        emb = model.apply(variables, expr, pos, train=True,
-                          rngs={"dropout": r}, method=type(model).encode_spots)
-        return jnp.sum(jnp.square(emb))
-
-    spot_grad = jax.jit(lambda r: jax.grad(spot_loss)(state.params, r))
-    timeit("spot_only", spot_grad)
-
-    print(json.dumps(results))
-    if args.out:
-        with open(args.out, "w") as f:
-            json.dump(results, f, indent=2)
 
 
 if __name__ == "__main__":
