@@ -119,6 +119,7 @@ def main():
     )
 
     eval_spots_per_sec, retrieval_qps = bench_eval_path(jax, model, state)
+    slide_attn = bench_slide_attention(jax)
 
     print(
         json.dumps(
@@ -129,9 +130,53 @@ def main():
                 "vs_baseline": round(spots_per_sec / REF_SPOTS_PER_SEC, 2),
                 "eval_spots_per_sec": round(eval_spots_per_sec, 2),
                 "retrieval_queries_per_sec": round(retrieval_qps, 2),
+                **slide_attn,
             }
         )
     )
+
+
+def bench_slide_attention(jax, n=4096, dim=1024, heads=16, dim_head=64,
+                          iters=10):
+    """Whole-slide attention fwd+bwd at HisToGene scale (reference
+    ``vis_model.py:160-167`` runs O(N^2) attention over up to ~4,900 spots):
+    dense-XLA vs the Pallas TPU flash kernel (``core/layers.py`` backend
+    "flash"). Chained through a data dependency and timed to a host value
+    readback (PROFILE_r02.md methodology)."""
+    import jax.numpy as jnp
+
+    from mclstexp_tpu.core.layers import MultiHeadSelfAttention
+
+    x0 = jax.random.normal(jax.random.PRNGKey(2), (1, n, dim), jnp.bfloat16)
+    out = {}
+    for backend in ("xla", "flash"):
+        m = MultiHeadSelfAttention(dim=dim, heads=heads, dim_head=dim_head,
+                                   dtype=jnp.bfloat16, backend=backend)
+
+        def loss(p, xx):
+            return jnp.sum(jnp.square(m.apply(p, xx).astype(jnp.float32)))
+
+        @jax.jit
+        def step(p, xx, x_base):
+            gx = jax.grad(loss, argnums=1)(p, xx)
+            return x_base + jnp.asarray(0.0, jnp.bfloat16) * gx  # chained
+
+        try:
+            params = m.init(jax.random.PRNGKey(0), x0)
+            xx = step(params, x0, x0)
+            float(jnp.asarray(xx).ravel()[0])
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                xx = step(params, xx, x0)
+            float(jnp.asarray(xx).ravel()[0])
+            ms = (time.perf_counter() - t0) / iters * 1000
+            out[f"slide_attn_{backend}_ms"] = round(ms, 2)
+            print(f"slide attention ({backend}): N={n} fwd+bwd {ms:.2f} ms",
+                  file=sys.stderr)
+        except Exception as e:  # flash needs a real TPU
+            print(f"slide attention ({backend}) unavailable: {e}",
+                  file=sys.stderr)
+    return out
 
 
 def bench_eval_path(

@@ -252,11 +252,23 @@ def cmd_eval(args) -> int:
             )
             restored = ckpt.restore_checkpoint(ckpt_dir)
             state = ckpt.apply_checkpoint(state0, restored)
-        img, spot = embed.compute_embeddings(
-            model, state.params, state.batch_stats, sections, cfg.eval.batch_size,
-            eval_augment=cfg.data.eval_time_augment, prepared=prepared,
-            raw_scale=cfg.data.visium_raw_scale,
-        )
+        if args.shard_eval and not cfg.data.eval_time_augment:
+            import jax
+
+            from mclstexp_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh((len(jax.devices()),), ("data",))
+            img, spot = embed.compute_embeddings_sharded(
+                model, state.params, state.batch_stats, sections, mesh,
+                cfg.eval.batch_size, raw_scale=cfg.data.visium_raw_scale,
+                prepared=prepared,
+            )
+        else:
+            img, spot = embed.compute_embeddings(
+                model, state.params, state.batch_stats, sections, cfg.eval.batch_size,
+                eval_augment=cfg.data.eval_time_augment, prepared=prepared,
+                raw_scale=cfg.data.visium_raw_scale,
+            )
         if args.save_embeddings:
             out_dir = os.path.join(cfg.eval.embedding_dir,
                                    f"{cfg.data.dataset}_result", f"embeddings_{fold}")
@@ -412,6 +424,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     _add_model_flags(p); _add_data_flags(p)
     p.add_argument("--fold", type=int, default=None)
     p.add_argument("--save-embeddings", action="store_true")
+    p.add_argument("--shard-eval", action="store_true",
+                   help="distribute the B=32 embedding sweep over all local "
+                        "devices (per-batch outputs identical to 1-device; "
+                        "ignored when the Visium eval-augment quirk is on)")
     p.add_argument("--from-embeddings", type=str, default="",
                    help="score pre-computed embedding dumps under this root "
                         "(per-fold embeddings_<fold>/ dirs in the reference "

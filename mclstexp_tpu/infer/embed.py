@@ -145,6 +145,102 @@ def _make_sweep(model, eval_augment: bool, raw_scale: bool = False):
     return sweep
 
 
+def compute_embeddings_sharded(
+    model: MclSTExp,
+    params,
+    batch_stats,
+    sections: Sequence[Section],
+    mesh,
+    batch_size: int = 32,
+    raw_scale: bool = False,
+    prepared=None,
+    axis: str = "data",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Multi-chip embedding sweep: the protocol's B=32 batches distributed
+    round-robin over the mesh's data axis via shard_map.
+
+    Each batch is still EXACTLY one `batch_size` attention sequence in the
+    original order (the batch-as-sequence protocol quirk, reference
+    ``evel_her2st.py:24,67``), so per-batch outputs are identical to the
+    single-device sweep — batches are merely executed on different chips.
+    The tail remainder batch runs unsharded. Visium's eval-time-augmentation
+    quirk is not supported here (its per-batch rng stream is defined by the
+    single-device sweep; use `compute_embeddings` for visium parity).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    if prepared is None:
+        prepared = prepare_eval_arrays(sections)
+    n, bs = prepared["n"], batch_size
+    full = n - n % bs
+    nb = full // bs
+    n_dev = mesh.shape[axis]
+    nb_pad = -(-nb // n_dev) * n_dev if nb else 0
+
+    def spot_encode(e, p):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, e, p,
+            method=type(model).encode_spots,
+        )
+
+    def image_encode(u8):
+        images = u8.astype(jnp.float32)
+        if not raw_scale:
+            images = images / 255.0
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, images,
+            method=type(model).encode_image,
+        )
+
+    if nb_pad:
+        def to_batches(a):
+            ab = a[:full].reshape(nb, bs, *a.shape[1:])
+            if nb_pad > nb:
+                pad = jnp.zeros((nb_pad - nb, bs) + a.shape[1:], a.dtype)
+                ab = jnp.concatenate([ab, pad], axis=0)
+            return ab
+
+        def local(pt, ex, po):
+            def body(_, b):
+                return _, (image_encode(b[0]), spot_encode(b[1], b[2]))
+
+            _, (img, sp) = jax.lax.scan(body, None, (pt, ex, po))
+            return img, sp
+
+        spec = P(axis)
+        sweep = jax.jit(
+            jax.shard_map(
+                local, mesh=mesh, in_specs=(spec, spec, spec),
+                out_specs=(spec, spec), check_vma=False,
+            )
+        )
+        img_b, spot_b = sweep(
+            to_batches(prepared["patches"]),
+            to_batches(prepared["expression"]),
+            to_batches(prepared["positions"]),
+        )
+        img = np.asarray(img_b).reshape(nb_pad * bs, -1)[:full]
+        spot = np.asarray(spot_b).reshape(nb_pad * bs, -1)[:full]
+    else:
+        img = np.zeros((0, 0), np.float32)
+        spot = np.zeros((0, 0), np.float32)
+
+    if full < n:  # tail batch, unsharded (same shapes as the 1-device path)
+        rem = lambda a: a[full:]
+        img_t = np.asarray(jax.jit(image_encode)(rem(prepared["patches"])))
+        spot_t = np.asarray(
+            jax.jit(spot_encode)(rem(prepared["expression"]), rem(prepared["positions"]))
+        )
+        if full:
+            img = np.concatenate([img, img_t], axis=0)
+            spot = np.concatenate([spot, spot_t], axis=0)
+        else:
+            img, spot = img_t, spot_t
+    return img, spot
+
+
 def split_by_section(
     embeddings: np.ndarray, section_sizes: Sequence[int]
 ) -> List[np.ndarray]:

@@ -1,0 +1,63 @@
+"""Multi-chip embedding sweep: sharded B=32-batch distribution must equal
+the single-device protocol sweep exactly (the batches are identical
+attention sequences, just executed on different devices)."""
+
+import jax
+import numpy as np
+import pytest
+
+from mclstexp_tpu.config import ModelConfig, TrainConfig
+from mclstexp_tpu.data import synthetic
+from mclstexp_tpu.infer import embed
+from mclstexp_tpu.parallel.mesh import make_mesh
+from mclstexp_tpu.train.state import create_train_state
+
+
+@pytest.fixture(scope="module")
+def setup():
+    # 3 x 50 = 150 spots, batch 8 -> 18 full batches + a 6-spot remainder;
+    # 18 batches over 8 devices pads to 24 (uneven split exercised).
+    sections = synthetic.make_dataset(num_sections=3, num_spots=50,
+                                      num_genes=24, patch_size=16, seed=2)
+    cfg = ModelConfig(encoder_name="tiny_cnn", image_dim=128, spot_dim=24,
+                      projection_dim=16, heads_num=2, heads_dim=8,
+                      head_layers=1)
+    sample = {
+        "image": np.zeros((1, 16, 16, 3), np.float32),
+        "expression": sections[0].expression[:1],
+        "position": sections[0].positions[:1].astype(np.int32),
+    }
+    model, state = create_train_state(cfg, TrainConfig(batch_size=8), sample)
+    return sections, model, state
+
+
+def test_sharded_sweep_matches_single_device(setup):
+    sections, model, state = setup
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh((8,), ("data",))
+
+    img1, spot1 = embed.compute_embeddings(
+        model, state.params, state.batch_stats, sections, batch_size=8
+    )
+    img8, spot8 = embed.compute_embeddings_sharded(
+        model, state.params, state.batch_stats, sections, mesh, batch_size=8
+    )
+    assert img8.shape == img1.shape and spot8.shape == spot1.shape
+    np.testing.assert_allclose(img8, img1, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(spot8, spot1, rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_sweep_small_n(setup):
+    """Fewer spots than one global batch round: everything lands in the
+    padded first round + remainder path."""
+    sections, model, state = setup
+    mesh = make_mesh((8,), ("data",))
+    tiny = sections[:1]
+    img1, spot1 = embed.compute_embeddings(
+        model, state.params, state.batch_stats, tiny, batch_size=8
+    )
+    img8, spot8 = embed.compute_embeddings_sharded(
+        model, state.params, state.batch_stats, tiny, mesh, batch_size=8
+    )
+    np.testing.assert_allclose(img8, img1, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(spot8, spot1, rtol=2e-5, atol=2e-6)
