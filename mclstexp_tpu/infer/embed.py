@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -54,6 +54,7 @@ def compute_embeddings(
     seed: int = 0,
     prepared=None,
     raw_scale: bool = False,
+    image_batch_size: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(image_embeddings, spot_embeddings), each (sum N_i, P), section order
     preserved. Batches of `batch_size` cross section boundaries (parity).
@@ -82,7 +83,7 @@ def compute_embeddings(
     # eval_augment) so repeated dumps (the per-fold eval loop) don't
     # re-trace.
     sweep = _make_sweep(model, eval_augment, raw_scale)
-    image_bs = max(batch_size, 256)
+    image_bs = image_batch_size or max(batch_size, 256)
     img = sweep(params, batch_stats, (patches_dev,), n, image_bs, "image", rng)
     spot = sweep(params, batch_stats, (expr_dev, pos_dev), n, batch_size, "spot", rng)
     return np.asarray(img), np.asarray(spot)
