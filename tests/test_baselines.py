@@ -340,3 +340,42 @@ def test_sr_grid():
     # 56-px steps
     assert np.all(np.diff(np.unique(gc[:, 0])) == 56)
     assert gp.min() >= 0
+
+
+def test_jk_lstm_matches_torch_two_layer_lstm(rng):
+    """Hist2ST's jump-knowledge uses two stacked flax OptimizedLSTMCell RNNs
+    standing in for the reference's ``nn.LSTM(dim, dim, 2)``
+    (HIST2ST.py:48,63); cross-check numerically: identical weights must give
+    identical sequence outputs (VERDICT r1 weak #6)."""
+    torch = pytest.importorskip("torch")
+    from flax import linen as fnn
+
+    dim, depth, n = 8, 3, 5
+    x = rng.normal(size=(n, depth, dim)).astype(np.float32)  # (batch, seq, dim)
+
+    lstm1 = fnn.RNN(fnn.OptimizedLSTMCell(dim), name="jknet")
+    lstm2 = fnn.RNN(fnn.OptimizedLSTMCell(dim), name="jknet2")
+    v1 = lstm1.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    h1 = lstm1.apply(v1, jnp.asarray(x))
+    v2 = lstm2.init(jax.random.PRNGKey(1), h1)
+    h2 = lstm2.apply(v2, h1)
+
+    tl = torch.nn.LSTM(dim, dim, num_layers=2, batch_first=True)
+    with torch.no_grad():
+        for layer, v in ((0, v1), (1, v2)):
+            c = v["params"]["cell"]
+            w_ih = np.concatenate(
+                [np.asarray(c[k]["kernel"]).T for k in ("ii", "if", "ig", "io")], 0
+            )
+            w_hh = np.concatenate(
+                [np.asarray(c[k]["kernel"]).T for k in ("hi", "hf", "hg", "ho")], 0
+            )
+            b_hh = np.concatenate(
+                [np.asarray(c[k]["bias"]) for k in ("hi", "hf", "hg", "ho")], 0
+            )
+            getattr(tl, f"weight_ih_l{layer}").copy_(torch.tensor(w_ih))
+            getattr(tl, f"weight_hh_l{layer}").copy_(torch.tensor(w_hh))
+            getattr(tl, f"bias_ih_l{layer}").zero_()
+            getattr(tl, f"bias_hh_l{layer}").copy_(torch.tensor(b_hh))
+        want, _ = tl(torch.tensor(x))
+    np.testing.assert_allclose(np.asarray(h2), want.numpy(), rtol=1e-5, atol=1e-5)
