@@ -325,6 +325,11 @@ class PositionTables(nn.Module):
         pos = positions.astype(jnp.int32)
         x_tab = self.param("x_embed", torch_embed_init, (self.vocab, self.dim), jnp.float32)
         y_tab = self.param("y_embed", torch_embed_init, (self.vocab, self.dim), jnp.float32)
+        # NOTE: the plain row gather is the fast form. The 2x206 MB tables
+        # cost ~9.6 ms/step of the B=128 bench step (dense torch-Adam decay
+        # semantics + XLA layout copies, xprof in PROFILE_r02.md); a flat
+        # 1-D-gather reformulation was measured WORSE (82.1 vs 75.5 ms/step:
+        # the gather lowers to a 6.3 ms custom fusion and the copies stay).
         cx = jnp.take(x_tab, pos[..., 0], axis=0)
         cy = jnp.take(y_tab, pos[..., 1], axis=0)
         return cx + cy
