@@ -19,7 +19,7 @@ import sys
 import numpy as np
 
 
-def main(out_dir: str = "tutorial_out") -> None:
+def main(out_dir: str = "tutorial_out", max_epochs: int = 20) -> None:
     import jax
 
     from mclstexp_tpu.config import (
@@ -41,7 +41,7 @@ def main(out_dir: str = "tutorial_out") -> None:
             projection_dim=32, heads_num=4, heads_dim=8, head_layers=2,
         ),
         train=TrainConfig(
-            batch_size=32, max_epochs=20, lr=3e-3, weight_decay=1e-3,
+            batch_size=32, max_epochs=max_epochs, lr=3e-3, weight_decay=1e-3,
             checkpoint_dir=os.path.join(out_dir, "model_result"), log_every=0,
         ),
         eval=EvalConfig(batch_size=16, top_k=16, weight_ord=1),

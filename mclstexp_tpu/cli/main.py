@@ -44,6 +44,9 @@ def _add_model_flags(p: argparse.ArgumentParser):
                         "(torchvision/timm state_dict); training starts from "
                         "them, like the reference default (model.py:73)")
     p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--debug-nans", action="store_true",
+                   help="abort with a located traceback on the first NaN "
+                        "inside any jitted step (debug only)")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--weight_decay", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=0)
@@ -90,6 +93,7 @@ def _build_config(args) -> "Config":
         weight_decay=args.weight_decay,
         seed=args.seed,
         checkpoint_dir=args.checkpoint_dir,
+        debug_nans=getattr(args, "debug_nans", False),
     )
     data = dataclasses.replace(
         cfg.data,

@@ -67,6 +67,10 @@ class TrainConfig:
     rot_impl: str = "paeth"
     mesh_shape: Optional[Tuple[int, ...]] = None  # None -> 1D data mesh over all devices
     mesh_axes: Tuple[str, ...] = ("data",)
+    # NaN sanitizer (SURVEY §5: JAX's answer to the reference's absent race/
+    # numerics tooling): aborts the step with a located traceback the moment
+    # any jitted op produces a NaN. Debug-only — disables some fusion.
+    debug_nans: bool = False
     # Datasets up to this size live in HBM; larger ones stream with prefetch.
     device_data_budget_bytes: int = 4 * 1024**3
 

@@ -60,6 +60,8 @@ def train_fold(
     best_<fold>`` mirroring the reference layout (train.py:87-95).
     """
     logger = logger or MetricLogger()
+    if cfg.train.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     train_secs, test_sec = split_fold(sections, fold)
     data = ConcatSections.from_sections(train_secs)
 

@@ -50,3 +50,23 @@ def test_domain_clustering(rng):
     labels = np.array(["x"] * 20 + ["y"] * 20)
     out = analysis.domain_clustering(pred, labels)
     assert out["ari"] > 0.9
+
+
+def test_tutorial_example_end_to_end(tmp_path):
+    """The worked example (reference tutorial.ipynb as a script) must run
+    end to end: train -> dump -> retrieval predict -> gene ranking -> plot
+    -> domain clustering (C17)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "tutorial_example",
+        os.path.join(os.path.dirname(__file__), "..", "examples", "tutorial.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = tmp_path / "tut"
+    mod.main(str(out), max_epochs=2)
+    assert (out / "pred.npy").exists()
+    pngs = list(out.glob("*.png"))
+    assert pngs, "expected a spatial plot"

@@ -120,3 +120,35 @@ def test_multi_device_step_matches_single(rng):
     sharded = shard_batch(batch, mesh)
     _, loss_sharded = step_fn(state, sharded, jax.random.PRNGKey(0))
     np.testing.assert_allclose(float(loss_single), float(loss_sharded), rtol=2e-5)
+
+
+def test_debug_nans_flag(tmp_path):
+    """TrainConfig.debug_nans arms jax_debug_nans (SURVEY §5 sanitizer):
+    clean training runs unchanged, and a NaN-producing jitted op raises a
+    located FloatingPointError instead of propagating silently."""
+    import dataclasses
+
+    from mclstexp_tpu.config import Config, DataConfig, EvalConfig, ModelConfig, TrainConfig
+    from mclstexp_tpu.data import synthetic
+    from mclstexp_tpu.train.loop import train_fold
+    from mclstexp_tpu.utils.logging import MetricLogger
+
+    sections = synthetic.make_dataset(num_sections=2, num_spots=16,
+                                      num_genes=8, patch_size=16)
+    cfg = Config(
+        model=ModelConfig(encoder_name="tiny_cnn", image_dim=128, spot_dim=8,
+                          projection_dim=8, heads_num=2, heads_dim=4,
+                          head_layers=1),
+        train=TrainConfig(batch_size=8, max_epochs=1, log_every=0,
+                          checkpoint_dir=str(tmp_path / "ckpt"),
+                          debug_nans=True),
+        eval=EvalConfig(top_k=4),
+        data=DataConfig(dataset="synthetic", num_folds=2),
+    )
+    try:
+        train_fold(cfg, sections, 0, logger=MetricLogger(echo=False))
+        assert jax.config.jax_debug_nans
+        with pytest.raises(FloatingPointError):
+            jnp.asarray(jax.jit(lambda x: jnp.sqrt(x))(jnp.asarray(-1.0))).item()
+    finally:
+        jax.config.update("jax_debug_nans", False)
