@@ -379,3 +379,32 @@ def test_jk_lstm_matches_torch_two_layer_lstm(rng):
             getattr(tl, f"bias_hh_l{layer}").copy_(torch.tensor(b_hh))
         want, _ = tl(torch.tensor(x))
     np.testing.assert_allclose(np.asarray(h2), want.numpy(), rtol=1e-5, atol=1e-5)
+
+
+def test_sr_predict_end_to_end(rng):
+    """Super-resolution prediction (HisToGene SR mode, reference
+    predict.py:46-68): dense 56-px grid over the spot bbox, patches cut from
+    the slide, model predicts expression at every unseen grid position."""
+    from mclstexp_tpu.data.section import Section
+
+    g, p = 6, 16
+    slide = (rng.uniform(size=(400, 400, 3)) * 255).astype(np.uint8)
+    centers = np.stack(np.meshgrid(np.arange(60, 380, 80),
+                                   np.arange(60, 380, 80)), -1).reshape(-1, 2)
+    n = len(centers)
+    section = Section(
+        name="S1",
+        expression=rng.normal(size=(n, g)).astype(np.float32),
+        positions=np.clip(centers // 8, 0, 63).astype(np.int32),
+        centers=centers.astype(np.int32),
+        patches=np.zeros((n, p, p, 3), np.uint8),
+    )
+    cfg = BaselineConfig(model="histogene", n_genes=g, patch_size=p, bucket=32,
+                         max_epochs=1, lr=1e-4)
+    model, state = init_baseline(cfg, section)
+    preds, grid_centers = super_resolution.sr_predict(
+        model, state, section, slide, cfg
+    )
+    assert preds.shape == (len(grid_centers), g)
+    assert np.isfinite(preds).all()
+    assert len(grid_centers) > n  # denser than the real spots
