@@ -55,13 +55,16 @@ def compute_embeddings(
     prepared=None,
     raw_scale: bool = False,
     image_batch_size: Optional[int] = None,
+    as_device: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(image_embeddings, spot_embeddings), each (sum N_i, P), section order
     preserved. Batches of `batch_size` cross section boundaries (parity).
 
     eval_augment applies the Visium inference-time random flips/rotations
     quirk (seeded; reference ``dataset.py:316-325``); raw_scale keeps the
-    raw 0-255 float input scale (reference ``dataset.py:336`` quirk)."""
+    raw 0-255 float input scale (reference ``dataset.py:336`` quirk).
+    as_device=True returns jax device arrays (no D2H) — the LOO eval keeps
+    embeddings + key sets HBM-resident across folds this way."""
     import jax
 
     rng = jax.random.PRNGKey(seed)
@@ -86,6 +89,8 @@ def compute_embeddings(
     image_bs = image_batch_size or max(batch_size, 256)
     img = sweep(params, batch_stats, (patches_dev,), n, image_bs, "image", rng)
     spot = sweep(params, batch_stats, (expr_dev, pos_dev), n, batch_size, "spot", rng)
+    if as_device:
+        return img, spot
     return np.asarray(img), np.asarray(spot)
 
 
@@ -146,6 +151,89 @@ def _make_sweep(model, eval_augment: bool, raw_scale: bool = False):
     return sweep
 
 
+@functools.lru_cache(maxsize=8)
+def _make_sharded_sweep(model, raw_scale: bool, mesh, axis: str):
+    """Compiled programs for the sharded sweep, cached per (model, mesh).
+
+    params/batch_stats are THREADED AS ARGUMENTS (replicated ``P()`` specs),
+    never closed over: closure device arrays become compile-request
+    constants, and the flagship's 2x206 MB position tables alone exceed the
+    remote-compile request limit on the TPU tunnel (HTTP 413, CLAUDE.md).
+    Caching also keeps the 32-fold LOO eval from re-tracing per fold.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    def spot_encode(params, batch_stats, e, p):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, e, p,
+            method=type(model).encode_spots,
+        )
+
+    def image_encode(params, batch_stats, u8):
+        images = u8.astype(jnp.float32)
+        if not raw_scale:
+            images = images / 255.0
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, images,
+            method=type(model).encode_image,
+        )
+
+    def img_local(params, batch_stats, pt):
+        def body(_, b):
+            return _, image_encode(params, batch_stats, b)
+
+        _, out = jax.lax.scan(body, None, pt)
+        return out
+
+    def spot_local(params, batch_stats, ex, po):
+        def body(_, b):
+            return _, spot_encode(params, batch_stats, b[0], b[1])
+
+        _, out = jax.lax.scan(body, None, (ex, po))
+        return out
+
+    rep, spec = P(), P(axis)
+    img_sweep = jax.jit(jax.shard_map(
+        img_local, mesh=mesh, in_specs=(rep, rep, spec), out_specs=spec,
+        check_vma=False,
+    ))
+    spot_sweep = jax.jit(jax.shard_map(
+        spot_local, mesh=mesh, in_specs=(rep, rep, spec, spec),
+        out_specs=spec, check_vma=False,
+    ))
+    return {
+        "image": (img_sweep, jax.jit(image_encode)),
+        "spot": (spot_sweep, jax.jit(spot_encode)),
+    }
+
+
+def _run_sharded_tower(
+    sweep, tail_fn, params, batch_stats, arrays, n: int, bs: int, n_dev: int
+) -> np.ndarray:
+    """Batch -> pad to a device multiple -> shard_map scan -> unsharded tail."""
+    import jax.numpy as jnp
+
+    full = n - n % bs
+    nb = full // bs
+    nb_pad = -(-nb // n_dev) * n_dev if nb else 0
+    outs = []
+    if nb_pad:
+        def to_batches(a):
+            ab = a[:full].reshape(nb, bs, *a.shape[1:])
+            if nb_pad > nb:
+                pad = jnp.zeros((nb_pad - nb, bs) + a.shape[1:], a.dtype)
+                ab = jnp.concatenate([ab, pad], axis=0)
+            return ab
+
+        out = sweep(params, batch_stats, *[to_batches(a) for a in arrays])
+        outs.append(np.asarray(out).reshape(nb_pad * bs, -1)[:full])
+    if full < n:  # tail batch, unsharded (same shapes as the 1-device path)
+        outs.append(np.asarray(tail_fn(params, batch_stats, *[a[full:] for a in arrays])))
+    return outs[0] if len(outs) == 1 else np.concatenate(outs, axis=0)
+
+
 def compute_embeddings_sharded(
     model: MclSTExp,
     params,
@@ -156,89 +244,36 @@ def compute_embeddings_sharded(
     raw_scale: bool = False,
     prepared=None,
     axis: str = "data",
+    image_batch_size: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Multi-chip embedding sweep: the protocol's B=32 batches distributed
     round-robin over the mesh's data axis via shard_map.
 
-    Each batch is still EXACTLY one `batch_size` attention sequence in the
-    original order (the batch-as-sequence protocol quirk, reference
+    Each spot batch is still EXACTLY one `batch_size` attention sequence in
+    the original order (the batch-as-sequence protocol quirk, reference
     ``evel_her2st.py:24,67``), so per-batch outputs are identical to the
     single-device sweep — batches are merely executed on different chips.
-    The tail remainder batch runs unsharded. Visium's eval-time-augmentation
-    quirk is not supported here (its per-batch rng stream is defined by the
-    single-device sweep; use `compute_embeddings` for visium parity).
+    The image tower is per-spot independent at eval, so it runs at its own
+    larger batch (same `max(batch_size, 256)` default as the unsharded
+    path) for MXU utilization. Tail remainders run unsharded. Visium's
+    eval-time-augmentation quirk is not supported here (its per-batch rng
+    stream is defined by the single-device sweep; use `compute_embeddings`
+    for visium parity).
     """
-    import jax
-    import jax.numpy as jnp
-    from jax.sharding import PartitionSpec as P
-
     if prepared is None:
         prepared = prepare_eval_arrays(sections)
-    n, bs = prepared["n"], batch_size
-    full = n - n % bs
-    nb = full // bs
+    n = prepared["n"]
     n_dev = mesh.shape[axis]
-    nb_pad = -(-nb // n_dev) * n_dev if nb else 0
-
-    def spot_encode(e, p):
-        return model.apply(
-            {"params": params, "batch_stats": batch_stats}, e, p,
-            method=type(model).encode_spots,
-        )
-
-    def image_encode(u8):
-        images = u8.astype(jnp.float32)
-        if not raw_scale:
-            images = images / 255.0
-        return model.apply(
-            {"params": params, "batch_stats": batch_stats}, images,
-            method=type(model).encode_image,
-        )
-
-    if nb_pad:
-        def to_batches(a):
-            ab = a[:full].reshape(nb, bs, *a.shape[1:])
-            if nb_pad > nb:
-                pad = jnp.zeros((nb_pad - nb, bs) + a.shape[1:], a.dtype)
-                ab = jnp.concatenate([ab, pad], axis=0)
-            return ab
-
-        def local(pt, ex, po):
-            def body(_, b):
-                return _, (image_encode(b[0]), spot_encode(b[1], b[2]))
-
-            _, (img, sp) = jax.lax.scan(body, None, (pt, ex, po))
-            return img, sp
-
-        spec = P(axis)
-        sweep = jax.jit(
-            jax.shard_map(
-                local, mesh=mesh, in_specs=(spec, spec, spec),
-                out_specs=(spec, spec), check_vma=False,
-            )
-        )
-        img_b, spot_b = sweep(
-            to_batches(prepared["patches"]),
-            to_batches(prepared["expression"]),
-            to_batches(prepared["positions"]),
-        )
-        img = np.asarray(img_b).reshape(nb_pad * bs, -1)[:full]
-        spot = np.asarray(spot_b).reshape(nb_pad * bs, -1)[:full]
-    else:
-        img = np.zeros((0, 0), np.float32)
-        spot = np.zeros((0, 0), np.float32)
-
-    if full < n:  # tail batch, unsharded (same shapes as the 1-device path)
-        rem = lambda a: a[full:]
-        img_t = np.asarray(jax.jit(image_encode)(rem(prepared["patches"])))
-        spot_t = np.asarray(
-            jax.jit(spot_encode)(rem(prepared["expression"]), rem(prepared["positions"]))
-        )
-        if full:
-            img = np.concatenate([img, img_t], axis=0)
-            spot = np.concatenate([spot, spot_t], axis=0)
-        else:
-            img, spot = img_t, spot_t
+    sweeps = _make_sharded_sweep(model, raw_scale, mesh, axis)
+    image_bs = image_batch_size or max(batch_size, 256)
+    img = _run_sharded_tower(
+        *sweeps["image"], params, batch_stats, (prepared["patches"],),
+        n, image_bs, n_dev,
+    )
+    spot = _run_sharded_tower(
+        *sweeps["spot"], params, batch_stats,
+        (prepared["expression"], prepared["positions"]), n, batch_size, n_dev,
+    )
     return img, spot
 
 
@@ -251,6 +286,20 @@ def split_by_section(
         start += n
     assert start == len(embeddings)
     return out
+
+
+def save_embedding_files(
+    img: np.ndarray, spot: np.ndarray, sizes: Sequence[int], out_dir: str
+) -> None:
+    """Write precomputed embeddings in the reference's per-section transposed
+    .npy layout (``evel_her2st.py:109-117``)."""
+    img, spot = np.asarray(img), np.asarray(spot)
+    os.makedirs(out_dir, exist_ok=True)
+    for i, (im, sp) in enumerate(
+        zip(split_by_section(img, sizes), split_by_section(spot, sizes))
+    ):
+        np.save(os.path.join(out_dir, f"img_embeddings_{i + 1}.npy"), im.T)
+        np.save(os.path.join(out_dir, f"spot_embeddings_{i + 1}.npy"), sp.T)
 
 
 def dump_embeddings(
@@ -268,10 +317,4 @@ def dump_embeddings(
         model, params, batch_stats, sections, batch_size, eval_augment,
         raw_scale=raw_scale,
     )
-    sizes = [s.num_spots for s in sections]
-    os.makedirs(out_dir, exist_ok=True)
-    for i, (im, sp) in enumerate(
-        zip(split_by_section(img, sizes), split_by_section(spot, sizes))
-    ):
-        np.save(os.path.join(out_dir, f"img_embeddings_{i + 1}.npy"), im.T)
-        np.save(os.path.join(out_dir, f"spot_embeddings_{i + 1}.npy"), sp.T)
+    save_embedding_files(img, spot, [s.num_spots for s in sections], out_dir)

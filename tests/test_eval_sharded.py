@@ -39,12 +39,41 @@ def test_sharded_sweep_matches_single_device(setup):
     img1, spot1 = embed.compute_embeddings(
         model, state.params, state.batch_stats, sections, batch_size=8
     )
+    # image_batch_size=8 keeps the image tower on the sharded path at this
+    # tiny N (the production default max(bs, 256) would route it all through
+    # the unsharded tail here).
     img8, spot8 = embed.compute_embeddings_sharded(
-        model, state.params, state.batch_stats, sections, mesh, batch_size=8
+        model, state.params, state.batch_stats, sections, mesh, batch_size=8,
+        image_batch_size=8,
     )
     assert img8.shape == img1.shape and spot8.shape == spot1.shape
     np.testing.assert_allclose(img8, img1, rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(spot8, spot1, rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_sweep_does_not_close_over_params(setup):
+    """The compiled sweep takes params as ARGUMENTS: a second call with
+    different params must produce different embeddings from the same cached
+    executable (a closure capture would bake the first fold's weights in —
+    and, on the real TPU, blow the remote-compile request size;
+    ADVICE r2 #1)."""
+    import jax
+
+    sections, model, state = setup
+    mesh = make_mesh((8,), ("data",))
+    kwargs = dict(batch_size=8, image_batch_size=8)
+    img_a, _ = embed.compute_embeddings_sharded(
+        model, state.params, state.batch_stats, sections, mesh, **kwargs
+    )
+    params2 = jax.tree.map(lambda x: x * 1.5, state.params)
+    img_b, _ = embed.compute_embeddings_sharded(
+        model, params2, state.batch_stats, sections, mesh, **kwargs
+    )
+    assert not np.allclose(img_a, img_b)
+    # and the program cache is shared across calls (no per-fold re-trace)
+    s1 = embed._make_sharded_sweep(model, False, mesh, "data")
+    s2 = embed._make_sharded_sweep(model, False, mesh, "data")
+    assert s1 is s2
 
 
 def test_sharded_sweep_small_n(setup):
@@ -57,7 +86,8 @@ def test_sharded_sweep_small_n(setup):
         model, state.params, state.batch_stats, tiny, batch_size=8
     )
     img8, spot8 = embed.compute_embeddings_sharded(
-        model, state.params, state.batch_stats, tiny, mesh, batch_size=8
+        model, state.params, state.batch_stats, tiny, mesh, batch_size=8,
+        image_batch_size=8,
     )
     np.testing.assert_allclose(img8, img1, rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(spot8, spot1, rtol=2e-5, atol=2e-6)
