@@ -60,8 +60,24 @@ def train_fold(
     best_<fold>`` mirroring the reference layout (train.py:87-95).
     """
     logger = logger or MetricLogger()
-    if cfg.train.debug_nans:
-        jax.config.update("jax_debug_nans", True)
+    prev_debug_nans = bool(jax.config.jax_debug_nans)
+    jax.config.update("jax_debug_nans", cfg.train.debug_nans)
+    try:
+        return _train_fold(cfg, sections, fold, logger, mesh, resume)
+    finally:
+        # restore: the flag is process-global and would otherwise leak into
+        # later train/eval calls (disabling fusion) — ADVICE r2 #3.
+        jax.config.update("jax_debug_nans", prev_debug_nans)
+
+
+def _train_fold(
+    cfg: Config,
+    sections: Sequence[Section],
+    fold: int,
+    logger: MetricLogger,
+    mesh,
+    resume: bool,
+) -> TrainState:
     train_secs, test_sec = split_fold(sections, fold)
     data = ConcatSections.from_sections(train_secs)
 

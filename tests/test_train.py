@@ -123,9 +123,11 @@ def test_multi_device_step_matches_single(rng):
 
 
 def test_debug_nans_flag(tmp_path):
-    """TrainConfig.debug_nans arms jax_debug_nans (SURVEY §5 sanitizer):
-    clean training runs unchanged, and a NaN-producing jitted op raises a
-    located FloatingPointError instead of propagating silently."""
+    """TrainConfig.debug_nans arms jax_debug_nans (SURVEY §5 sanitizer)
+    *for the duration of the fold*: clean training runs unchanged, a NaN in
+    the step raises a FloatingPointError instead of propagating silently,
+    and the process-global flag is restored on return/raise so it can't
+    leak into later train/eval calls (ADVICE r2 #3)."""
     import dataclasses
 
     from mclstexp_tpu.config import Config, DataConfig, EvalConfig, ModelConfig, TrainConfig
@@ -145,10 +147,21 @@ def test_debug_nans_flag(tmp_path):
         eval=EvalConfig(top_k=4),
         data=DataConfig(dataset="synthetic", num_folds=2),
     )
-    try:
-        train_fold(cfg, sections, 0, logger=MetricLogger(echo=False))
-        assert jax.config.jax_debug_nans
-        with pytest.raises(FloatingPointError):
-            jnp.asarray(jax.jit(lambda x: jnp.sqrt(x))(jnp.asarray(-1.0))).item()
-    finally:
-        jax.config.update("jax_debug_nans", False)
+    assert not jax.config.jax_debug_nans
+    # clean run: trains fine, flag restored afterwards
+    train_fold(cfg, sections, 0, logger=MetricLogger(echo=False))
+    assert not jax.config.jax_debug_nans
+
+    # poisoned run: a NaN inside the jitted step raises instead of training
+    # on (poison section 1 — fold 0 trains on it and holds section 0 out)
+    bad = dataclasses.replace(sections[1], expression=np.full_like(
+        np.asarray(sections[1].expression), np.nan))
+    with pytest.raises(FloatingPointError):
+        train_fold(cfg, [sections[0], bad], 0, logger=MetricLogger(echo=False))
+    assert not jax.config.jax_debug_nans  # restored even on raise
+
+    # unarmed, the same poison trains without raising (NaN propagates)
+    cfg_off = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, debug_nans=False))
+    train_fold(cfg_off, [sections[0], bad], 0, logger=MetricLogger(echo=False))
+    assert not jax.config.jax_debug_nans
