@@ -52,6 +52,18 @@ def _add_model_flags(p: argparse.ArgumentParser):
     p.add_argument("--seed", type=int, default=0)
 
 
+def _add_dist_flags(p: argparse.ArgumentParser):
+    # Multi-host launch (the reference's SLURM/DDP analog for BLEEP,
+    # BLEEP_main.py:112-124; here it is jax.distributed over the TPU slice).
+    # All three optional: on TPU pods the coordinator is discovered from the
+    # environment, and single-host runs skip initialization entirely.
+    p.add_argument("--coordinator", type=str, default="",
+                   help="coordinator address host:port for jax.distributed "
+                        "(omit on TPU pods — auto-discovered)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+
+
 def _add_data_flags(p: argparse.ArgumentParser):
     p.add_argument("--dataset", type=str, default="her2st",
                    choices=["her2st", "cscc", "visium", "synthetic"])
@@ -108,49 +120,111 @@ def _build_config(args) -> "Config":
 
 def _load_sections(cfg, with_patches: bool = True):
     from mclstexp_tpu.data import genes, synthetic
-    from mclstexp_tpu.data.st_dataset import load_cscc, load_her2st
-    from mclstexp_tpu.data.visium import load_visium
+    from mclstexp_tpu.data.st_dataset import (
+        cscc_section_names,
+        her2st_section_names,
+        load_cscc,
+        load_her2st,
+    )
+    from mclstexp_tpu.data.visium import VISIUM_SECTIONS, load_visium
 
     ds = cfg.data.dataset
     if ds == "synthetic":
         return synthetic.make_dataset()
     panel = genes.load_panel(ds, cfg.data.gene_panel or None)
     cache = os.path.join(cfg.data.patch_cache_dir, ds)
-    if ds == "her2st":
-        return load_her2st(cfg.data.data_root, panel, cache_dir=cache,
-                           with_patches=with_patches)
-    if ds == "cscc":
-        return load_cscc(cfg.data.data_root, panel, cache_dir=cache,
-                         with_patches=with_patches)
-    if ds == "visium":
-        return load_visium(cfg.data.data_root, cfg.data.preprocessed_root,
-                           cache_dir=cache, with_patches=with_patches)
-    raise ValueError(ds)
+
+    def load(names=None, with_p=with_patches):
+        if ds == "her2st":
+            return load_her2st(cfg.data.data_root, panel, names=names,
+                               cache_dir=cache, with_patches=with_p)
+        if ds == "cscc":
+            return load_cscc(cfg.data.data_root, panel, names=names,
+                             cache_dir=cache, with_patches=with_p)
+        if ds == "visium":
+            kw = {} if names is None else {"names": names}
+            return load_visium(cfg.data.data_root, cfg.data.preprocessed_root,
+                               cache_dir=cache, with_patches=with_p, **kw)
+        raise ValueError(ds)
+
+    if with_patches:
+        import jax
+
+        if jax.process_count() > 1:
+            # Cooperative patch-cache pre-cut: each host cuts only its shard
+            # of sections (the DistributedSampler-style split,
+            # BLEEP_main.py:57), then all hosts barrier before reading the
+            # full cache set. Requires the cache dir on shared storage.
+            from mclstexp_tpu.parallel.distributed import process_shard, sync_hosts
+
+            if ds == "her2st":
+                all_names = her2st_section_names(cfg.data.data_root)
+            elif ds == "cscc":
+                all_names = cscc_section_names()
+            else:
+                all_names = list(VISIUM_SECTIONS)
+            load(names=all_names[process_shard(len(all_names))])
+            sync_hosts("patch-cache-precut")
+    return load()
+
+
+def _visium_matrix_dirs(cfg) -> dict:
+    from mclstexp_tpu.data.visium import VISIUM_SECTIONS, VISIUM_SECTIONS_ALEX
+
+    matrix_dirs = {}
+    for name in VISIUM_SECTIONS:
+        sub = (
+            "filtered_count_matrix"
+            if name in VISIUM_SECTIONS_ALEX
+            else "filtered_feature_bc_matrix"
+        )
+        matrix_dirs[name] = os.path.join(cfg.data.data_root, name, sub)
+    return matrix_dirs
 
 
 def cmd_hvg(args) -> int:
     """Build per-section preprocessed expression matrices (and optionally a
     fresh HVG panel) — the reference ``hvg_*.py`` pipeline."""
     cfg = _build_config(args)
+    if args.select_panel:
+        # Emit the panel artifacts themselves (per-section HVG masks,
+        # union/intersection pickles, and the cut panel .npy) — the part of
+        # reference hvg_her2st.py:24-57 that ONBOARDS a new dataset with no
+        # shipped panel. The produced .npy feeds straight into --gene-panel.
+        from mclstexp_tpu.data import panel as panel_mod
+
+        if cfg.data.dataset == "visium":
+            frames = panel_mod.visium_count_frames(_visium_matrix_dirs(cfg))
+        else:
+            frames = panel_mod.count_frames_for_dataset(
+                cfg.data.dataset, cfg.data.data_root
+            )
+        sel = panel_mod.select_panel(
+            frames,
+            n_top_genes=args.n_top_genes,
+            min_sections=args.panel_min_sections,
+            panel_size=args.panel_size,
+        )
+        out_dir = args.out or os.path.join(
+            cfg.data.preprocessed_root, f"{cfg.data.dataset}_panel"
+        )
+        path = panel_mod.save_panel_artifacts(sel, out_dir, cfg.data.dataset)
+        print(
+            f"panel: {len(sel.panel)} genes -> {path} "
+            f"(union {int(sel.union.sum())}, "
+            f"intersection {int(sel.intersection.sum())}, "
+            f"{len(sel.shared_genes)} shared genes, "
+            f"{len(sel.section_names)} sections)"
+        )
+        return 0
     if cfg.data.dataset == "visium":
         # Visium flows raw 10x counts -> gene x spot matrices (its own quirky
         # orientation, see data/visium.py); sections can't be loaded first.
         from mclstexp_tpu.data import genes
-        from mclstexp_tpu.data.visium import (
-            VISIUM_SECTIONS,
-            VISIUM_SECTIONS_ALEX,
-            build_visium_preprocessed,
-        )
+        from mclstexp_tpu.data.visium import build_visium_preprocessed
 
         panel = genes.load_panel("visium", cfg.data.gene_panel or None)
-        matrix_dirs = {}
-        for name in VISIUM_SECTIONS:
-            sub = (
-                "filtered_count_matrix"
-                if name in VISIUM_SECTIONS_ALEX
-                else "filtered_feature_bc_matrix"
-            )
-            matrix_dirs[name] = os.path.join(cfg.data.data_root, name, sub)
+        matrix_dirs = _visium_matrix_dirs(cfg)
         out_root = args.out or cfg.data.preprocessed_root
         build_visium_preprocessed(matrix_dirs, out_root, panel)
         print(f"wrote {len(matrix_dirs)} matrices under {out_root}")
@@ -188,6 +262,43 @@ def _print_averages(avg) -> None:
     print(f"Mean Absolute Error (MAE): {avg['mae']:.4f}")
 
 
+def _preprocessed_section_names(cfg, root: str) -> List[str]:
+    """Section order for --from-embeddings ground truth.
+
+    Derived from the dataset protocol where it defines one (cscc's fixed
+    patient x replicate grid, visium's fixed section tuple, her2st's
+    ``[1:33]`` ST-cnts listing) rather than a raw sorted listdir, so a stray
+    directory under the preprocessed root can't silently misalign fold
+    indices against the embedding dumps (ADVICE r2 #2). Falls back to the
+    sorted listing for synthetic/unknown layouts; either way
+    ``evaluate_from_embedding_dumps`` hard-fails on per-section spot-count
+    mismatches."""
+    listing = sorted(
+        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+    )
+    ds = cfg.data.dataset
+    if ds == "cscc":
+        from mclstexp_tpu.data.st_dataset import cscc_section_names
+
+        names = cscc_section_names()
+    elif ds == "visium":
+        from mclstexp_tpu.data.visium import VISIUM_SECTIONS
+
+        names = list(VISIUM_SECTIONS)
+    elif ds == "her2st" and cfg.data.data_root:
+        from mclstexp_tpu.data.st_dataset import her2st_section_names
+
+        names = her2st_section_names(cfg.data.data_root)
+    else:
+        return listing
+    missing = [n for n in names if n not in listing]
+    if missing:
+        raise FileNotFoundError(
+            f"preprocessed matrices missing for sections {missing} under {root}"
+        )
+    return names
+
+
 def cmd_eval(args) -> int:
     """Full LOO protocol: per-fold embedding dump + retrieval metrics
     (the reference ``evel_*.py`` flow), printing the same four averages."""
@@ -203,9 +314,7 @@ def cmd_eval(args) -> int:
         # Ground truth comes from the preprocessed gene x spot matrices, the
         # same files the reference's phase B reads (evel_her2st.py:136).
         root = os.path.join(cfg.data.preprocessed_root, cfg.data.dataset)
-        names = sorted(
-            d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
-        )
+        names = _preprocessed_section_names(cfg, root)
         expressions = [
             np.load(os.path.join(root, nm, "preprocessed_matrix.npy"))
             .T.astype(np.float32)
@@ -241,7 +350,12 @@ def cmd_eval(args) -> int:
 
     folds = [args.fold] if args.fold is not None else list(range(len(sections)))
     prepared = embed.prepare_eval_arrays(sections)  # one H2D for all folds
-    img_per_fold, spot_per_fold = {}, {}
+    bounds = evaluate.section_bounds(sizes)
+    # Ground-truth key expressions live in HBM ONCE for every fold; per-fold
+    # key sets are the full device arrays with the held-out section masked
+    # (evaluate_fold_resident) — no per-fold host concat + re-upload.
+    expr_full_dev = prepared["expression"]
+    per_fold = []
     for fold in folds:
         if args.torch_checkpoint:
             # score a reference-trained torch .pt directly (key shims +
@@ -271,40 +385,33 @@ def cmd_eval(args) -> int:
             img, spot = embed.compute_embeddings(
                 model, state.params, state.batch_stats, sections, cfg.eval.batch_size,
                 eval_augment=cfg.data.eval_time_augment, prepared=prepared,
-                raw_scale=cfg.data.visium_raw_scale,
+                raw_scale=cfg.data.visium_raw_scale, as_device=True,
             )
         if args.save_embeddings:
             out_dir = os.path.join(cfg.eval.embedding_dir,
                                    f"{cfg.data.dataset}_result", f"embeddings_{fold}")
-            embed.dump_embeddings(model, state.params, state.batch_stats,
-                                  sections, out_dir, cfg.eval.batch_size,
-                                  eval_augment=cfg.data.eval_time_augment,
-                                  raw_scale=cfg.data.visium_raw_scale)
-        img_per_fold[fold] = embed.split_by_section(img, sizes)[fold]
-        spot_per_fold[fold] = embed.split_by_section(spot, sizes)
-
-    results = evaluate.evaluate_folds(
-        [img_per_fold[f] for f in folds],
-        [spot_per_fold[f] for f in folds],
-        [expressions[f] for f in folds] if len(folds) != len(sections) else expressions,
-        top_k=cfg.eval.top_k,
-        weight_ord=cfg.eval.weight_ord,
-        prediction_dir=cfg.eval.prediction_dir,
-        section_names=[sections[f].name for f in folds],
-    ) if len(folds) == len(sections) else {
-        "per_fold": [
-            evaluate.evaluate_fold(
-                f, img_per_fold[f], spot_per_fold[f], expressions,
-                top_k=cfg.eval.top_k, weight_ord=cfg.eval.weight_ord,
+            embed.save_embedding_files(img, spot, sizes, out_dir)
+        pred_path = None
+        # prediction dumps only for the full protocol (matches the previous
+        # evaluate_folds behavior; single-fold dumps go through `predict`)
+        if cfg.eval.prediction_dir and len(folds) == len(sections):
+            pred_path = os.path.join(
+                cfg.eval.prediction_dir, sections[fold].name,
+                "matched_spot_expression_pred.npy",
             )
-            for f in folds
-        ]
+        per_fold.append(evaluate.evaluate_fold_resident(
+            fold, img, spot, expr_full_dev, bounds, expressions[fold],
+            top_k=cfg.eval.top_k, weight_ord=cfg.eval.weight_ord,
+            prediction_path=pred_path,
+        ))
+
+    results = {
+        "per_fold": per_fold,
+        "folds": folds,
+        "avg": {
+            k: float(np.mean([m[k] for m in per_fold])) for k in per_fold[0]
+        },
     }
-    if "avg" not in results:
-        results["avg"] = {
-            k: float(np.mean([m[k] for m in results["per_fold"]]))
-            for k in results["per_fold"][0]
-        }
     _print_averages(results["avg"])
     if args.json:
         with open(args.json, "w") as f:
@@ -378,6 +485,7 @@ def cmd_baseline(args) -> int:
         lamb=args.lamb,
         batch_size=args.batch_size,
         dtype=args.dtype,
+        encoder_name=args.bleep_encoder,
     )
     logger = MetricLogger()
     if args.baseline == "bleep":
@@ -414,18 +522,31 @@ def main(argv: Optional[List[str]] = None) -> int:
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("hvg", help="build preprocessed expression matrices")
-    _add_model_flags(p); _add_data_flags(p)
+    _add_model_flags(p); _add_data_flags(p); _add_dist_flags(p)
     p.add_argument("--out", type=str, default="")
+    p.add_argument("--select-panel", action="store_true",
+                   help="emit panel artifacts (per-section HVG masks, "
+                        "union/intersection pickles, panel .npy for "
+                        "--gene-panel) instead of preprocessed matrices — "
+                        "onboards a new dataset with no shipped panel")
+    p.add_argument("--n-top-genes", type=int, default=1000,
+                   help="HVGs per section (reference hvg_*.py n_top_genes)")
+    p.add_argument("--panel-min-sections", type=int, default=1,
+                   help="keep genes selected by >= this many sections "
+                        "(1 == union)")
+    p.add_argument("--panel-size", type=int, default=None,
+                   help="truncate the panel to this many genes (ranked by "
+                        "selection frequency, then mean dispersion)")
     p.set_defaults(fn=cmd_hvg)
 
     p = sub.add_parser("train", help="train folds (leave-one-section-out)")
-    _add_model_flags(p); _add_data_flags(p)
+    _add_model_flags(p); _add_data_flags(p); _add_dist_flags(p)
     p.add_argument("--fold", type=int, default=None, help="single fold; default all")
     p.add_argument("--resume", action="store_true")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("eval", help="LOO retrieval evaluation")
-    _add_model_flags(p); _add_data_flags(p)
+    _add_model_flags(p); _add_data_flags(p); _add_dist_flags(p)
     p.add_argument("--fold", type=int, default=None)
     p.add_argument("--save-embeddings", action="store_true")
     p.add_argument("--shard-eval", action="store_true",
@@ -444,14 +565,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("predict", help="predict expression for one section")
-    _add_model_flags(p); _add_data_flags(p)
+    _add_model_flags(p); _add_data_flags(p); _add_dist_flags(p)
     p.add_argument("--checkpoint", type=str, required=True)
     p.add_argument("--fold", type=int, required=True)
     p.add_argument("--out", type=str, default="")
     p.set_defaults(fn=cmd_predict)
 
     p = sub.add_parser("baseline", help="train/eval a baseline family")
-    _add_model_flags(p); _add_data_flags(p)
+    _add_model_flags(p); _add_data_flags(p); _add_dist_flags(p)
     p.add_argument("--baseline", type=str, required=True,
                    choices=["histogene", "hist2st", "thitogene", "bleep"])
     p.add_argument("--fold", type=int, default=0)
@@ -459,6 +580,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--bake", type=int, default=None,
                    help="Hist2ST distillation passes; default = reference's 5")
     p.add_argument("--lamb", type=float, default=0.5)
+    p.add_argument("--bleep-encoder", type=str, default="resnet50",
+                   choices=["resnet50", "res101", "resnet152", "vit", "vit_l",
+                            "clip_vit", "tiny_cnn"],
+                   help="BLEEP image tower (reference "
+                        "baselines/Bleep/modules.py:7-132 menu)")
     # let each family resolve its reference default lr (trainer._FAMILY_LR)
     p.set_defaults(fn=cmd_baseline, lr=None)
 
@@ -466,6 +592,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.set_defaults(fn=cmd_bench)
 
     args = parser.parse_args(argv)
+    # Multi-host: explicit --coordinator/--num-processes/--process-id, or
+    # env-discovered on TPU pods; no-op on single-host runs (incl. tests).
+    from mclstexp_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed(
+        getattr(args, "coordinator", "") or None,
+        getattr(args, "num_processes", None),
+        getattr(args, "process_id", None),
+    )
     return args.fn(args)
 
 

@@ -49,6 +49,51 @@ def evaluate_fold(
     return expression_metrics(pred_expr, expression_gt)
 
 
+def section_bounds(sizes: Sequence[int]) -> List[tuple]:
+    """[(start, stop)] of each section inside the concatenated arrays."""
+    out, start = [], 0
+    for n in sizes:
+        out.append((start, start + n))
+        start += n
+    return out
+
+
+def evaluate_fold_resident(
+    fold: int,
+    image_embeddings_full,  # (N_total, P) — device or host, ALL sections
+    spot_embeddings_full,  # (N_total, P) — device or host, ALL sections
+    expressions_full,  # (N_total, G) — device-resident ground truth
+    bounds: Sequence[tuple],  # per-section (start, stop)
+    expression_gt: np.ndarray,  # (N_fold, G) host ground truth for metrics
+    top_k: int,
+    weight_ord: int = 1,
+    prediction_path: Optional[str] = None,
+) -> Dict[str, float]:
+    """Device-resident form of ``evaluate_fold`` (ADVICE/VERDICT r2: the
+    host path re-concatenates 31 sections' embeddings + expressions and
+    re-uploads ~40 MB per fold over a slow tunnel). Here the FULL key set
+    stays in HBM across folds and the held-out section is excluded by a
+    score mask instead of re-concatenation — identical retrieval (masked
+    rows can never enter the top-K), O(bytes of one bool vector) per fold.
+    """
+    start, stop = bounds[fold]
+    n_total = spot_embeddings_full.shape[0]
+    mask = np.ones(n_total, bool)
+    mask[start:stop] = False
+    _, pred_expr = retrieve_and_aggregate(
+        spot_embeddings_full,
+        expressions_full,
+        image_embeddings_full[start:stop],
+        top_k=top_k,
+        weight_ord=weight_ord,
+        key_mask=mask,
+    )
+    if prediction_path:
+        os.makedirs(os.path.dirname(prediction_path), exist_ok=True)
+        np.save(prediction_path, pred_expr.T)  # genes x spots layout
+    return expression_metrics(pred_expr, expression_gt)
+
+
 def evaluate_folds(
     image_embeddings_per_fold: Sequence[np.ndarray],
     spot_embeddings_per_fold: Sequence[Sequence[np.ndarray]],
@@ -131,6 +176,16 @@ def evaluate_from_embedding_dumps(
         image_query, spots = load_reference_embeddings(
             os.path.join(root, f"embeddings_{fold}"), n, fold
         )
+        bad = [
+            (i, spots[i].shape[0], expressions[i].shape[0])
+            for i in range(n)
+            if spots[i].shape[0] != expressions[i].shape[0]
+        ]
+        if bad:
+            raise ValueError(
+                "embedding dump / ground-truth spot-count mismatch (section, "
+                f"dumped, expected): {bad[:5]} — section order misaligned?"
+            )
         pred_path = None
         if prediction_dir and section_names:
             pred_path = os.path.join(

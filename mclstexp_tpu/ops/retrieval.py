@@ -35,17 +35,28 @@ def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("top_k",))
 def find_matches(
-    key_emb: jax.Array, query_emb: jax.Array, top_k: int
+    key_emb: jax.Array,
+    query_emb: jax.Array,
+    top_k: int,
+    key_mask: "jax.Array | None" = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Cosine top-K: returns (values, indices), each (Nq, top_k).
 
     key_emb: (Nk, D) reference spot embeddings; query_emb: (Nq, D) image
     embeddings. Both are L2-normalized internally (the caller's arrays are
     untouched, matching ``evel_her2st.py:74-84``).
+
+    key_mask: optional (Nk,) bool; False rows can never be retrieved. This
+    is how the LOO protocol keeps the FULL key set device-resident across
+    folds: instead of re-concatenating the 31 kept sections per fold
+    (reference ``evel_her2st.py:150-156``), the held-out section's rows are
+    masked out — identical selection, zero per-fold H2D.
     """
     k = l2_normalize(key_emb.astype(jnp.float32))
     q = l2_normalize(query_emb.astype(jnp.float32))
     scores = q @ k.T  # (Nq, Nk) — MXU matmul
+    if key_mask is not None:
+        scores = jnp.where(key_mask[None, :], scores, -jnp.inf)
     return jax.lax.top_k(scores, top_k)
 
 
@@ -55,6 +66,7 @@ def streaming_topk(
     query_emb: jax.Array,
     top_k: int,
     chunk_size: int = 4096,
+    key_mask: "jax.Array | None" = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Memory-bounded cosine top-K over arbitrarily large key sets.
 
@@ -71,25 +83,29 @@ def streaming_topk(
     nk, d = k.shape
     nq = q.shape[0]
 
+    valid_full = (
+        jnp.ones(nk, bool) if key_mask is None else key_mask.astype(bool)
+    )
     pad = (-nk) % chunk_size
     if pad:
         k = jnp.concatenate([k, jnp.zeros((pad, d), k.dtype)])
+        valid_full = jnp.concatenate([valid_full, jnp.zeros(pad, bool)])
     n_chunks = k.shape[0] // chunk_size
     k_chunks = k.reshape(n_chunks, chunk_size, d)
+    valid_chunks = valid_full.reshape(n_chunks, chunk_size)
 
     init_vals = jnp.full((nq, top_k), -jnp.inf, jnp.float32)
     init_idx = jnp.zeros((nq, top_k), jnp.int32)
 
     def body(carry, inp):
         vals, idx = carry
-        chunk_i, k_chunk = inp
+        chunk_i, k_chunk, chunk_valid = inp
         scores = q @ k_chunk.T  # (Nq, C)
         cand_idx = chunk_i * chunk_size + jax.lax.broadcasted_iota(
             jnp.int32, (nq, chunk_size), 1
         )
-        # padded keys are zero vectors -> score 0; mask them out
-        valid = cand_idx < nk
-        scores = jnp.where(valid, scores, -jnp.inf)
+        # padded keys (zero vectors) and caller-masked keys score -inf
+        scores = jnp.where(chunk_valid[None, :], scores, -jnp.inf)
         all_vals = jnp.concatenate([vals, scores], axis=1)
         all_idx = jnp.concatenate([idx, cand_idx], axis=1)
         new_vals, pos = jax.lax.top_k(all_vals, top_k)
@@ -97,7 +113,7 @@ def streaming_topk(
         return (new_vals, new_idx), None
 
     (vals, idx), _ = jax.lax.scan(
-        body, (init_vals, init_idx), (jnp.arange(n_chunks), k_chunks)
+        body, (init_vals, init_idx), (jnp.arange(n_chunks), k_chunks, valid_chunks)
     )
     return vals, idx
 
@@ -132,6 +148,12 @@ def _aggregate_chunk(
     return pred_emb, pred_expr
 
 
+# Above this many score-matrix elements the dense (Nq, Nk) materialization
+# is ~>2 GB fp32 and streaming_topk takes over (same ordering for distinct
+# scores; peak memory O(Nq * (top_k + chunk))).
+STREAMING_SCORE_ELEMENTS = 512 * 1024 * 1024
+
+
 def retrieve_and_aggregate(
     key_emb: np.ndarray,
     key_expr: np.ndarray,
@@ -139,6 +161,8 @@ def retrieve_and_aggregate(
     top_k: int,
     weight_ord: int = 1,
     chunk_size: int = 1024,
+    streaming: "bool | None" = None,
+    key_mask=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Full retrieval inference: (pred_embeddings, pred_expression).
 
@@ -147,13 +171,30 @@ def retrieve_and_aggregate(
     (``evel_her2st.py:174-187``) with device-resident fused compute.
     weight_ord: 1 = L1 1/d^2 (her2st), 2 = L2 1/d^2 (cscc/visium),
     0 = uniform (BLEEP simple-average mode).
+
+    streaming: None (default) auto-switches to the memory-bounded
+    ``streaming_topk`` scan when Nq * Nk exceeds STREAMING_SCORE_ELEMENTS —
+    the production path for reference sets far beyond benchmark scale
+    (millions of spots resident in HBM); True/False forces the choice.
+
+    key_mask: optional (Nk,) bool — False rows are unretrievable. Lets the
+    LOO protocol keep one device-resident key set across folds (see
+    ``find_matches``); device arrays passed for key_emb/key_expr are used
+    in place (no copy).
     """
     key_emb_j = jnp.asarray(key_emb, dtype=jnp.float32)
     key_expr_j = jnp.asarray(key_expr, dtype=jnp.float32)
     query_j = jnp.asarray(query_emb, dtype=jnp.float32)
     nq = query_j.shape[0]
+    nk = key_emb_j.shape[0]
+    mask_j = None if key_mask is None else jnp.asarray(key_mask, dtype=bool)
 
-    _, indices = find_matches(key_emb_j, query_j, top_k)
+    if streaming is None:
+        streaming = nq * nk > STREAMING_SCORE_ELEMENTS
+    if streaming:
+        _, indices = streaming_topk(key_emb_j, query_j, top_k, key_mask=mask_j)
+    else:
+        _, indices = find_matches(key_emb_j, query_j, top_k, key_mask=mask_j)
 
     pred_embs, pred_exprs = [], []
     for start in range(0, nq, chunk_size):

@@ -79,6 +79,85 @@ def test_streaming_topk_unpadded_chunks(rng):
     np.testing.assert_array_equal(np.asarray(si), np.asarray(di))
 
 
+def test_retrieve_and_aggregate_streaming_equals_dense(rng):
+    """The production path's streaming switch (VERDICT r2 #5): forcing the
+    memory-bounded scan gives bit-identical predictions to the dense path,
+    and the auto threshold picks streaming at production key counts."""
+    nk, nq, d, g, k = 500, 17, 8, 6, 9
+    key = rng.normal(size=(nk, d)).astype(np.float32)
+    expr = rng.normal(size=(nk, g)).astype(np.float32)
+    query = rng.normal(size=(nq, d)).astype(np.float32)
+
+    pe_d, px_d = retrieval.retrieve_and_aggregate(
+        key, expr, query, top_k=k, weight_ord=1, streaming=False
+    )
+    pe_s, px_s = retrieval.retrieve_and_aggregate(
+        key, expr, query, top_k=k, weight_ord=1, streaming=True
+    )
+    np.testing.assert_array_equal(px_s, px_d)
+    np.testing.assert_array_equal(pe_s, pe_d)
+
+    # auto mode: benchmark scale stays dense, production scale streams
+    assert 13000 * 13000 < retrieval.STREAMING_SCORE_ELEMENTS  # her2st LOO
+    assert 100_000 * 10_000_000 > retrieval.STREAMING_SCORE_ELEMENTS
+
+
+def test_masked_retrieval_equals_exclusion(rng):
+    """The device-resident LOO form (full key set + held-out mask) selects
+    and aggregates exactly what the reference's concat-the-others form does
+    (evel_her2st.py:150-156), for dense AND streaming top-K."""
+    sizes = [40, 55, 30]
+    d, g, k = 8, 5, 6
+    embs = [rng.normal(size=(n, d)).astype(np.float32) for n in sizes]
+    exprs = [rng.normal(size=(n, g)).astype(np.float32) for n in sizes]
+    full_emb = np.concatenate(embs)
+    full_expr = np.concatenate(exprs)
+    bounds = [(0, 40), (40, 95), (95, 125)]
+
+    for fold in range(3):
+        query = rng.normal(size=(11, d)).astype(np.float32)
+        key_emb = np.concatenate([e for i, e in enumerate(embs) if i != fold])
+        key_expr = np.concatenate([e for i, e in enumerate(exprs) if i != fold])
+        pe_ref, px_ref = retrieval.retrieve_and_aggregate(
+            key_emb, key_expr, query, top_k=k, weight_ord=1
+        )
+        mask = np.ones(sum(sizes), bool)
+        mask[bounds[fold][0]:bounds[fold][1]] = False
+        for streaming in (False, True):
+            pe, px = retrieval.retrieve_and_aggregate(
+                full_emb, full_expr, query, top_k=k, weight_ord=1,
+                key_mask=mask, streaming=streaming,
+            )
+            np.testing.assert_allclose(px, px_ref, rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(pe, pe_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_evaluate_fold_resident_matches_host_path(rng):
+    """infer.evaluate.evaluate_fold_resident == evaluate_fold metrics."""
+    from mclstexp_tpu.infer import evaluate
+
+    sizes = [30, 25, 35]
+    d, g = 8, 6
+    spot = [rng.normal(size=(n, d)).astype(np.float32) for n in sizes]
+    img = [rng.normal(size=(n, d)).astype(np.float32) for n in sizes]
+    expr = [rng.normal(size=(n, g)).astype(np.float32) for n in sizes]
+    bounds = evaluate.section_bounds(sizes)
+    spot_full = np.concatenate(spot)
+    img_full = np.concatenate(img)
+    expr_full = jnp.asarray(np.concatenate(expr))
+
+    for fold in range(3):
+        host = evaluate.evaluate_fold(fold, img[fold], spot, expr,
+                                      top_k=7, weight_ord=2)
+        dev = evaluate.evaluate_fold_resident(
+            fold, img_full, spot_full, expr_full, bounds, expr[fold],
+            top_k=7, weight_ord=2,
+        )
+        for key in host:
+            np.testing.assert_allclose(dev[key], host[key], rtol=1e-5,
+                                       err_msg=f"fold {fold} {key}")
+
+
 def test_l2_normalize_zero_safe():
     x = jnp.zeros((2, 4))
     out = np.asarray(retrieval.l2_normalize(x))
