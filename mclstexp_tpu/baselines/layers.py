@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mclstexp_tpu.models.image.common import conv_kaiming_init
+from mclstexp_tpu.models.image.common import BatchNormT, conv_kaiming_init
 
 Dtype = Any
 
@@ -48,7 +48,7 @@ class ConvMixerBlock(nn.Module):
                 self.dim, (self.kernel_size, self.kernel_size), padding="SAME",
                 feature_group_count=self.dim, dtype=self.dtype, name=f"{name}_conv",
             )(h)
-            h = nn.BatchNorm(
+            h = BatchNormT(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=self.dtype, name=f"{name}_bn",
             )(h)
@@ -59,7 +59,7 @@ class ConvMixerBlock(nn.Module):
         x = h + x
         x = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="pw_conv")(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.BatchNorm(
+        x = BatchNormT(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="pw_bn",
         )(x)
@@ -175,7 +175,7 @@ class ODConv(nn.Module):
         pooled = jnp.mean(x, axis=(1, 2))  # (B, Cin)
         f = nn.Dense(attn_ch, use_bias=False, kernel_init=conv_kaiming_init,
                      dtype=self.dtype, name="fc")(pooled)
-        f = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        f = BatchNormT(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn")(f)
         f = nn.relu(f)
 
@@ -260,7 +260,7 @@ class EfficientCapsNet(nn.Module):
         def conv_bn(h, feat, k, stride, name):
             h = nn.Conv(feat, (k, k), strides=(stride, stride), padding="VALID",
                         kernel_init=conv_kaiming_init, dtype=self.dtype, name=f"{name}_conv")(h)
-            h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            h = BatchNormT(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype, name=f"{name}_bn")(h)
             return nn.relu(h)
 

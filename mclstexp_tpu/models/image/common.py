@@ -22,6 +22,56 @@ conv_kaiming_init = jax.nn.initializers.variance_scaling(
 )
 
 
+class BatchNormT(nn.Module):
+    """BatchNorm with exact torch running-stat semantics.
+
+    flax ``nn.BatchNorm`` folds the *biased* batch variance into the running
+    EMA; torch stores the UNBIASED (ddof=1) batch variance in
+    ``running_var`` while normalizing with the biased one
+    (torch BatchNorm2d docs; F.batch_norm). The per-step offset is only
+    batch_var/(n-1), but it is systematic — the reference A/B trajectory
+    test caught it as a running-var drift — so the towers use this module
+    for bit-faithful train->eval parity. Normalization math matches
+    nn.BatchNorm (fp32 statistics, eps 1e-5, momentum 0.1 torch == 0.9 EMA).
+    """
+
+    use_running_average: bool = True
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(c, jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(c, jnp.float32)
+        )
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            x32 = x.astype(jnp.float32)
+            reduce_axes = tuple(range(x.ndim - 1))
+            n = x.size // c
+            mean = jnp.mean(x32, axis=reduce_axes)
+            var = jnp.mean(jnp.square(x32), axis=reduce_axes) - jnp.square(mean)
+            if not self.is_initializing():
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1.0 - self.momentum) * unbiased
+                )
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = (x.astype(jnp.float32) - mean) * inv + bias
+        return y.astype(self.dtype)
+
+
 class ConvBN(nn.Module):
     """Conv (no bias) + BatchNorm, optionally followed by ReLU."""
 
@@ -44,7 +94,7 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
+        x = BatchNormT(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mclstexp_tpu.models.image.common import (
+    BatchNormT,
     conv_kaiming_init,
     global_avg_pool,
     max_pool_3x3_s2,
@@ -40,7 +41,7 @@ class DenseLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        h = nn.BatchNorm(
+        h = BatchNormT(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="norm1",
         )(x)
@@ -49,7 +50,7 @@ class DenseLayer(nn.Module):
             self.bn_size * self.growth_rate, (1, 1), use_bias=False,
             kernel_init=conv_kaiming_init, dtype=self.dtype, name="conv1",
         )(h)
-        h = nn.BatchNorm(
+        h = BatchNormT(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="norm2",
         )(h)
@@ -67,6 +68,17 @@ class DenseBlock(nn.Module):
     bn_size: int
     dtype: Dtype = jnp.float32
     remat: bool = False
+    # Dense-connectivity materialization strategy (numerics identical):
+    #   "concat" — re-concatenate the feature prefix each layer (torchvision
+    #       semantics verbatim); XLA emits a fresh (B,H,W,C_i+k) copy per
+    #       layer, priced at 8.2 ms/step of the B=128 flagship step
+    #       (PROFILE_r02.md).
+    #   "dus" — preallocate the block's final channel extent once and write
+    #       each layer's k new channels in place via dynamic_update_slice;
+    #       layer inputs are prefix slices of the one buffer. XLA performs
+    #       the updates in place when the old buffer value is dead, cutting
+    #       the per-layer prefix copies.
+    block_impl: str = "concat"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -79,10 +91,28 @@ class DenseBlock(nn.Module):
         layer_cls = (
             nn.remat(DenseLayer, static_argnums=(2,)) if self.remat else DenseLayer
         )
-        for i in range(self.num_layers):
-            new = layer_cls(
+        layers = [
+            layer_cls(
                 self.growth_rate, self.bn_size, self.dtype, name=f"denselayer{i + 1}"
-            )(x, train)
+            )
+            for i in range(self.num_layers)
+        ]
+        if self.block_impl == "dus":
+            c0 = x.shape[-1]
+            total = c0 + self.num_layers * self.growth_rate
+            buf = jnp.zeros((*x.shape[:-1], total), self.dtype)
+            buf = jax.lax.dynamic_update_slice_in_dim(
+                buf, x.astype(self.dtype), 0, axis=-1
+            )
+            c = c0
+            for layer in layers:
+                cur = jax.lax.slice_in_dim(buf, 0, c, axis=-1)
+                new = layer(cur, train).astype(self.dtype)
+                buf = jax.lax.dynamic_update_slice_in_dim(buf, new, c, axis=-1)
+                c += self.growth_rate
+            return buf
+        for layer in layers:
+            new = layer(x, train)
             x = jnp.concatenate([x, new], axis=-1)
         return x
 
@@ -93,7 +123,7 @@ class Transition(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        x = nn.BatchNorm(
+        x = BatchNormT(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="norm",
         )(x)
@@ -114,6 +144,7 @@ class DenseNetEncoder(nn.Module):
     init_features: int = 64
     dtype: Dtype = jnp.float32
     remat: bool = False  # rematerialize dense layers in backward (see DenseBlock)
+    block_impl: str = "concat"  # dense-connectivity strategy (see DenseBlock)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -123,7 +154,7 @@ class DenseNetEncoder(nn.Module):
             use_bias=False, kernel_init=conv_kaiming_init, dtype=self.dtype,
             name="conv0",
         )(x)
-        x = nn.BatchNorm(
+        x = BatchNormT(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="norm0",
         )(x)
@@ -134,14 +165,15 @@ class DenseNetEncoder(nn.Module):
         for i, num_layers in enumerate(self.block_config):
             x = DenseBlock(
                 num_layers, self.growth_rate, self.bn_size, self.dtype,
-                remat=self.remat, name=f"denseblock{i + 1}",
+                remat=self.remat, block_impl=self.block_impl,
+                name=f"denseblock{i + 1}",
             )(x, train)
             features += num_layers * self.growth_rate
             if i != len(self.block_config) - 1:
                 features = features // 2
                 x = Transition(features, self.dtype, name=f"transition{i + 1}")(x, train)
 
-        x = nn.BatchNorm(
+        x = BatchNormT(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="norm5",
         )(x)
@@ -150,5 +182,7 @@ class DenseNetEncoder(nn.Module):
         return global_avg_pool(x).astype(jnp.float32)
 
 
-def densenet121(dtype=jnp.float32, remat: bool = False) -> DenseNetEncoder:
-    return DenseNetEncoder(dtype=dtype, remat=remat)
+def densenet121(
+    dtype=jnp.float32, remat: bool = False, block_impl: str = "concat"
+) -> DenseNetEncoder:
+    return DenseNetEncoder(dtype=dtype, remat=remat, block_impl=block_impl)

@@ -290,6 +290,155 @@ def test_vit_matches_torch(rng, final):
     np.testing.assert_allclose(np.asarray(ours), expected, rtol=1e-4, atol=1e-5)
 
 
+def test_batchnorm_running_stats_match_torch(rng):
+    """BatchNormT stores torch's UNBIASED batch variance in the running EMA
+    while normalizing with the biased one (torch BatchNorm2d semantics —
+    flax nn.BatchNorm folds the biased variance into the EMA, a systematic
+    running-var drift the reference A/B trajectory test exposed)."""
+    import jax
+
+    from mclstexp_tpu.models.image.common import BatchNormT
+
+    c, steps = 6, 3
+    bn = BatchNormT(use_running_average=False)
+    x0 = rng.normal(size=(4, 5, 5, c)).astype(np.float32)
+    variables = bn.init(jax.random.PRNGKey(0), x0)
+
+    t = torch.nn.BatchNorm2d(c, eps=1e-5, momentum=0.1)
+    t.train()
+    state = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+    for s in range(steps):
+        x = (rng.normal(size=(4, 5, 5, c)) * (1 + s)).astype(np.float32)
+        ours, updates = bn.apply(
+            {"params": state["params"], "batch_stats": state["batch_stats"]},
+            x, mutable=["batch_stats"],
+        )
+        state["batch_stats"] = updates["batch_stats"]
+        theirs = t(torch.tensor(np.transpose(x, (0, 3, 1, 2))))
+        np.testing.assert_allclose(
+            np.asarray(ours), np.transpose(theirs.detach().numpy(), (0, 2, 3, 1)),
+            rtol=1e-5, atol=1e-6,
+        )
+    np.testing.assert_allclose(
+        np.asarray(state["batch_stats"]["mean"]), t.running_mean.numpy(),
+        rtol=1e-5, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state["batch_stats"]["var"]), t.running_var.numpy(),
+        rtol=1e-6, atol=1e-7,
+    )
+
+
+def test_densenet_dus_block_impl_matches_concat(rng):
+    """block_impl="dus" (preallocated buffer + in-place channel writes, the
+    concat-traffic lever from PROFILE_r02) is numerically identical to the
+    torchvision-verbatim concat form — forward AND gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    sd = make_torchvision_densenet_sd(rng)
+    params, batch_stats = import_image_tower(sd, "densenet121")
+    x = rng.uniform(size=(2, 32, 32, 3)).astype(np.float32)
+
+    outs, grads = {}, {}
+    for impl in ("concat", "dus"):
+        model = densenet121(block_impl=impl)
+        variables = {"params": params, "batch_stats": batch_stats}
+        outs[impl] = np.asarray(model.apply(variables, x, train=False))
+
+        def loss(p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": batch_stats}, x, train=True,
+                mutable=["batch_stats"],
+            )
+            return jnp.mean(jnp.square(out))
+
+        g = jax.grad(loss)(params)
+        grads[impl] = np.asarray(g["denseblock2"]["denselayer3"]["conv1"]["kernel"])
+
+    np.testing.assert_array_equal(outs["dus"], outs["concat"])
+    # backward graphs differ structurally (slice-grads vs concat-grads), so
+    # reduction order differs; bound the noise relative to the tensor scale
+    scale = np.abs(grads["concat"]).max()
+    np.testing.assert_allclose(
+        grads["dus"] / scale, grads["concat"] / scale, rtol=0, atol=2e-4
+    )
+
+
+def test_clip_vit_prenorm_matches_torch(rng):
+    """CLIP trunks (BLEEP's laion2b encoder, Bleep/modules.py:97-110) add a
+    norm_pre on the embedded tokens; golden vs functional torch."""
+    from mclstexp_tpu.models.image.vit import ViTEncoder as VE
+
+    dim, depth, heads, patch, mlp = 32, 2, 2, 8, 64
+    sd = make_timm_vit_sd(rng, dim=dim, depth=depth, patch=patch, tokens=4, mlp=mlp)
+    sd["norm_pre.weight"] = rng.uniform(0.5, 1.5, dim).astype(np.float32)
+    sd["norm_pre.bias"] = (rng.normal(size=dim) * 0.1).astype(np.float32)
+    params, _ = import_image_tower(sd, "clip_vit")
+
+    x = rng.uniform(size=(2, 16, 16, 3)).astype(np.float32)
+    model = VE(patch_size=patch, dim=dim, depth=depth, heads=heads,
+               mlp_dim=mlp, pre_norm=True)
+    ours = model.apply({"params": params}, x)
+
+    import torch.nn.functional as F2
+
+    def fwd(x_t):
+        w = _t(sd, "patch_embed.proj.weight")
+        h = F2.conv2d(x_t, w, _t(sd, "patch_embed.proj.bias"), stride=patch)
+        B, D = h.shape[0], h.shape[1]
+        h = h.flatten(2).transpose(1, 2)
+        cls = _t(sd, "cls_token").expand(B, -1, -1)
+        h = torch.cat([cls, h], 1) + _t(sd, "pos_embed")
+        h = F2.layer_norm(h, (D,), _t(sd, "norm_pre.weight"),
+                          _t(sd, "norm_pre.bias"), eps=1e-6)
+        return h
+
+    # run the shared block stack by reusing torch_vit_forward on a patched
+    # dict is awkward; instead check end-to-end against a full inline fwd
+    h = fwd(torch.tensor(np.transpose(x, (0, 3, 1, 2))))
+    D = dim
+    for i in range(depth):
+        base = f"blocks.{i}"
+        y = F2.layer_norm(h, (D,), _t(sd, f"{base}.norm1.weight"),
+                          _t(sd, f"{base}.norm1.bias"), eps=1e-6)
+        qkv = F2.linear(y, _t(sd, f"{base}.attn.qkv.weight"), _t(sd, f"{base}.attn.qkv.bias"))
+        Bq, N, _ = qkv.shape
+        hd = D // heads
+        qkv = qkv.reshape(Bq, N, 3, heads, hd).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = torch.softmax(q @ k.transpose(-2, -1) * hd**-0.5, -1)
+        y = (attn @ v).transpose(1, 2).reshape(Bq, N, D)
+        y = F2.linear(y, _t(sd, f"{base}.attn.proj.weight"), _t(sd, f"{base}.attn.proj.bias"))
+        h = h + y
+        y = F2.layer_norm(h, (D,), _t(sd, f"{base}.norm2.weight"),
+                          _t(sd, f"{base}.norm2.bias"), eps=1e-6)
+        y = F2.linear(y, _t(sd, f"{base}.mlp.fc1.weight"), _t(sd, f"{base}.mlp.fc1.bias"))
+        y = F2.gelu(y)
+        y = F2.linear(y, _t(sd, f"{base}.mlp.fc2.weight"), _t(sd, f"{base}.mlp.fc2.bias"))
+        h = h + y
+    pooled = h[:, 1:].mean(1)
+    expected = F2.layer_norm(pooled, (D,), _t(sd, "norm.weight"),
+                             _t(sd, "norm.bias"), eps=1e-6).numpy()
+    np.testing.assert_allclose(np.asarray(ours), expected, rtol=1e-4, atol=1e-5)
+
+
+def test_bleep_menu_encoders_build_and_forward(rng):
+    """BLEEP's wider encoder menu (modules.py:7-132): resnet152 / ViT-L /
+    CLIP-ViT build, forward, and emit their registry dims."""
+    import jax
+
+    from mclstexp_tpu.models.image.registry import build_encoder
+
+    for name, img in (("resnet152", 48), ("vit_l", 64), ("clip_vit", 64)):
+        enc, dim = build_encoder(name)
+        x = rng.uniform(size=(1, img, img, 3)).astype(np.float32)
+        variables = enc.init(jax.random.PRNGKey(0), x, train=False)
+        out = enc.apply(variables, x, train=False)
+        assert out.shape == (1, dim), (name, out.shape)
+        assert np.isfinite(np.asarray(out)).all(), name
+
+
 # ----------------------------------------------------- pretrained wiring
 
 
