@@ -79,3 +79,26 @@ def bleep_clip_loss(
     spots_loss = soft_target_cross_entropy(logits, targets)
     images_loss = soft_target_cross_entropy(logits.T, targets.T)
     return (spots_loss + images_loss) / 2.0
+
+
+def bleep_clip_loss_gathered(
+    spot_emb: jax.Array,
+    image_emb: jax.Array,
+    temperature: float,
+    axis_name: str,
+) -> jax.Array:
+    """Global-batch BLEEP loss from inside a ``shard_map`` region.
+
+    The reference trains BLEEP under DDP (``Bleep/BLEEP_main.py:57,76-78,
+    147``) where each rank computes the CLIP loss over its LOCAL batch and
+    only gradients are all-reduced — so DDP *changes* the objective as world
+    size grows (smaller logit matrices). The TPU-native form keeps the
+    objective fixed instead: all-gather both (B_local, P) embedding sets
+    over ``axis_name`` (cheap over ICI) so the soft targets' intra-modal
+    similarities and the cross-modal logit matrix all span the GLOBAL batch,
+    exactly matching single-device training at any device count. Returns the
+    same scalar on every device.
+    """
+    spot_all = jax.lax.all_gather(spot_emb, axis_name, axis=0, tiled=True)
+    image_all = jax.lax.all_gather(image_emb, axis_name, axis=0, tiled=True)
+    return bleep_clip_loss(spot_all, image_all, temperature)

@@ -375,8 +375,24 @@ def train_bleep_fold(
     sections: Sequence[Section],
     fold: int,
     logger: Optional[MetricLogger] = None,
+    mesh=None,
 ) -> Tuple[Any, TrainState]:
+    """BLEEP fold training; pass a mesh for data-parallel batches.
+
+    The reference's only distributed training is BLEEP's DDP
+    (``Bleep/BLEEP_main.py:57,76-78,147``). Here DP is the standard
+    TPU-native form: batches sharded over the mesh's "data" axis under one
+    jitted step, with XLA inserting the embedding all-gathers because
+    ``bleep_clip_loss``'s B x B similarity matrices (logits AND the
+    intra-modal soft targets) consume the full global batch — so the
+    objective is bit-equal to single-device training, unlike DDP's
+    per-rank-local loss. (The slide-level baselines keep the reference's
+    strictly sequential one-slide-per-step Lightning semantics; batching
+    slides across devices would change the optimizer trajectory, and the
+    reference never distributes them.)
+    """
     from mclstexp_tpu.data.pipeline import ConcatSections, train_batches
+    from mclstexp_tpu.parallel.mesh import shard_batch
 
     logger = logger or MetricLogger()
     train_secs, _ = split_fold(sections, fold)
@@ -387,7 +403,10 @@ def train_bleep_fold(
     for epoch in range(cfg.max_epochs):
         meter = AvgMeter("loss")
         for i, batch in enumerate(train_batches(data, cfg.batch_size, cfg.seed, epoch)):
-            device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if mesh is not None:
+                device_batch = shard_batch(batch, mesh)
+            else:
+                device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
             state, loss = step_fn(
                 state, device_batch, jax.random.fold_in(rng, epoch * 100000 + i)
             )

@@ -178,6 +178,85 @@ def test_thitogene_forward(rng):
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+def test_bleep_gathered_loss_matches_full_batch(rng):
+    """bleep_clip_loss_gathered under shard_map == bleep_clip_loss on the
+    full batch: the soft targets' intra-modal similarities must span the
+    GLOBAL batch (the DDP-parity objective, Bleep/BLEEP_main.py:76-78)."""
+    from jax.sharding import PartitionSpec as P
+
+    from mclstexp_tpu.parallel.mesh import make_mesh
+
+    b, d, T = 16, 8, 0.7
+    spot = rng.normal(size=(b, d)).astype(np.float32)
+    img = rng.normal(size=(b, d)).astype(np.float32)
+    full = float(losses.bleep_clip_loss(jnp.asarray(spot), jnp.asarray(img), T))
+
+    mesh = make_mesh((8,), ("data",))
+    sharded = jax.jit(
+        jax.shard_map(
+            lambda s, i: losses.bleep_clip_loss_gathered(s, i, T, "data"),
+            mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P(),
+            check_vma=False,
+        )
+    )(spot, img)
+    np.testing.assert_allclose(float(sharded), full, rtol=1e-6)
+
+
+def test_bleep_sharded_step_matches_replicated(rng):
+    """One data-parallel BLEEP step on an 8-device mesh == the single-device
+    step: same loss, and every updated param leaf equal (VERDICT r2 #4 —
+    the reference's DDP-trained baseline, BLEEP_main.py:57,147)."""
+    from mclstexp_tpu.parallel.mesh import make_mesh, shard_batch
+
+    cfg = BaselineConfig(model="bleep", n_genes=16, encoder_name="tiny_cnn",
+                         batch_size=16, max_epochs=1)
+    sections = synthetic.make_dataset(num_sections=2, num_spots=16, num_genes=16,
+                                      patch_size=16, seed=5)
+    model, state = init_baseline(cfg, sections[0])
+    step = make_bleep_step(model, cfg)
+    batch = {
+        "image_u8": np.asarray(sections[0].patches),
+        "expression": np.asarray(sections[0].expression),
+    }
+    rng_key = jax.random.PRNGKey(3)
+
+    # the step donates its state buffers; keep an independent copy
+    state_b = jax.tree.map(jnp.array, state)
+    state1, loss1 = step(state, {k: jnp.asarray(v) for k, v in batch.items()}, rng_key)
+
+    mesh = make_mesh((8,), ("data",))
+    state8, loss8 = step(state_b, shard_batch(batch, mesh), rng_key)
+
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=2e-5)
+    for (p1, a), (p8, b) in zip(
+        jax.tree_util.tree_flatten_with_path(state1.params)[0],
+        jax.tree_util.tree_flatten_with_path(state8.params)[0],
+    ):
+        assert p1 == p8
+        # atol covers Adam's rsqrt amplification of reduction-order noise
+        # on near-zero-gradient entries
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=5e-5,
+            err_msg=jax.tree_util.keystr(p1),
+        )
+
+
+def test_bleep_train_fold_with_mesh(rng):
+    """train_bleep_fold(mesh=...) runs the DP path end-to-end."""
+    from mclstexp_tpu.baselines.trainer import train_bleep_fold
+    from mclstexp_tpu.parallel.mesh import make_mesh
+
+    sections = synthetic.make_dataset(num_sections=2, num_spots=16, num_genes=12,
+                                      patch_size=16, seed=6)
+    cfg = BaselineConfig(model="bleep", n_genes=12, encoder_name="tiny_cnn",
+                         batch_size=8, max_epochs=1, seed=0)
+    logger = MetricLogger(echo=False)
+    model, state = train_bleep_fold(
+        cfg, sections, 0, logger=logger, mesh=make_mesh((8,), ("data",))
+    )
+    assert any("loss" in r and np.isfinite(r["loss"]) for r in logger.records)
+
+
 def test_bleep_forward_and_step(rng):
     cfg = BaselineConfig(model="bleep", n_genes=16, encoder_name="tiny_cnn",
                          batch_size=8, max_epochs=1, lr=1e-3)
