@@ -26,7 +26,7 @@ def maybe_initialize_distributed(
     """
     import jax
 
-    explicit = coordinator_address is not None
+    explicit = coordinator_address is not None or num_processes is not None
     env_present = any(
         os.environ.get(k)
         for k in ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS")
@@ -50,3 +50,15 @@ def process_shard(n_items: int) -> slice:
     pc, pi = jax.process_count(), jax.process_index()
     per = (n_items + pc - 1) // pc
     return slice(pi * per, min((pi + 1) * per, n_items))
+
+
+def sync_hosts(tag: str = "sync") -> None:
+    """Barrier across hosts (no-op single-process). Used after the
+    per-host patch-cache pre-cut so no host reads a half-written cache."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(tag)
