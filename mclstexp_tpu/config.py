@@ -47,6 +47,12 @@ class ModelConfig:
     # PROFILE_r02.md), so default off. Numerics equal to bf16 recompute
     # noise; encoders without wired support ignore it (registry.py).
     remat_tower: bool = False
+    # DenseNet dense-connectivity materialization: "concat" (torchvision
+    # verbatim) or "dus" (preallocated channel buffer + in-place
+    # dynamic_update_slice writes — targets the 8.2 ms/step of dense-block
+    # concat copies in the B=128 trace, PROFILE_r02.md). Numerics identical;
+    # only densenet121 consumes it.
+    dense_block_impl: str = "concat"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -125,6 +131,10 @@ ENCODER_DIMS = {
     "res101": 2048,
     "res18": 512,
     "vit": 768,  # vit_base_patch32_224, global-average-pooled tokens
+    # BLEEP's wider menu (reference baselines/Bleep/modules.py:7-132)
+    "resnet152": 2048,
+    "vit_l": 1024,  # vit_large_patch32_224_in21k
+    "clip_vit": 768,  # vit_base_patch32_224_clip_laion2b (pre-norm trunk)
     "tiny_cnn": 128,  # test-sized tower (ours; no reference equivalent)
 }
 

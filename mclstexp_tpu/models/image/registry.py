@@ -12,8 +12,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mclstexp_tpu.models.image.densenet import densenet121
-from mclstexp_tpu.models.image.resnet import resnet18, resnet50, resnet101
-from mclstexp_tpu.models.image.vit import TinyCNN, vit_b32
+from mclstexp_tpu.models.image.resnet import resnet18, resnet50, resnet101, resnet152
+from mclstexp_tpu.models.image.vit import TinyCNN, clip_vit_b32, vit_b32, vit_l32
 
 ENCODERS = {
     "densenet121": (densenet121, 1024),
@@ -21,6 +21,10 @@ ENCODERS = {
     "res101": (resnet101, 2048),
     "res18": (resnet18, 512),
     "vit": (vit_b32, 768),
+    # BLEEP's wider encoder menu (reference baselines/Bleep/modules.py:7-132)
+    "resnet152": (resnet152, 2048),
+    "vit_l": (vit_l32, 1024),
+    "clip_vit": (clip_vit_b32, 768),
     "tiny_cnn": (lambda dtype=jnp.float32: TinyCNN(dtype=dtype), 128),
 }
 
@@ -32,11 +36,14 @@ REMAT_CAPABLE = {"densenet121"}
 
 
 def build_encoder(
-    name: str, dtype=jnp.float32, remat: bool = False
+    name: str, dtype=jnp.float32, remat: bool = False, block_impl: str = "concat"
 ) -> Tuple[nn.Module, int]:
     if name not in ENCODERS:
         raise KeyError(f"unknown image encoder {name!r}; have {sorted(ENCODERS)}")
     factory, dim = ENCODERS[name]
+    kw = {}
     if remat and name in REMAT_CAPABLE:
-        return factory(dtype=dtype, remat=True), dim
-    return factory(dtype=dtype), dim
+        kw["remat"] = True
+    if name == "densenet121" and block_impl != "concat":
+        kw["block_impl"] = block_impl  # DenseBlock materialization strategy
+    return factory(dtype=dtype, **kw), dim

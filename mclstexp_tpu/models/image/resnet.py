@@ -94,3 +94,9 @@ def resnet50(dtype=jnp.float32):
 
 def resnet101(dtype=jnp.float32):
     return ResNetEncoder(stage_sizes=(3, 4, 23, 3), block="bottleneck", dtype=dtype)
+
+
+def resnet152(dtype=jnp.float32):
+    """BLEEP's deepest resnet option (reference
+    ``baselines/Bleep/modules.py:60-74``)."""
+    return ResNetEncoder(stage_sizes=(3, 8, 36, 3), block="bottleneck", dtype=dtype)

@@ -100,6 +100,7 @@ _RESNET_STAGES = {
     "res18": ((2, 2, 2, 2), "basic"),
     "resnet50": ((3, 4, 6, 3), "bottleneck"),
     "res101": ((3, 4, 23, 3), "bottleneck"),
+    "resnet152": ((3, 8, 36, 3), "bottleneck"),  # BLEEP menu, modules.py:60
 }
 
 
@@ -136,6 +137,8 @@ def _import_vit(b: _TreeBuilder, sd, prefix: str, dest: str):
     """
     b.set(b.params, (dest, "cls_token"), b.take(sd, _j(prefix, "cls_token")))
     b.set(b.params, (dest, "pos_embed"), b.take(sd, _j(prefix, "pos_embed")))
+    if _j(prefix, "norm_pre.weight") in sd:  # CLIP trunks (pre_norm=True)
+        b.ln(sd, _j(prefix, "norm_pre"), dest, "norm_pre")
     b.conv(sd, _j(prefix, "patch_embed.proj"), dest, "patch_embed")
     b.set(
         b.params,
@@ -190,7 +193,7 @@ def import_reference_state_dict(
         _import_densenet(b, sd, "image_encoder.model.0", "image_encoder")
     elif cfg.encoder_name in _RESNET_STAGES:
         _import_resnet(b, sd, "image_encoder.model", "image_encoder", cfg.encoder_name)
-    elif cfg.encoder_name == "vit":
+    elif cfg.encoder_name in ("vit", "vit_l", "clip_vit"):
         _import_vit(b, sd, "image_encoder.model", "image_encoder")
     else:
         raise NotImplementedError(
@@ -279,7 +282,7 @@ def import_image_tower(
         _import_densenet(b, csd, "", "image_encoder")
     elif encoder_name in _RESNET_STAGES:
         _import_resnet(b, csd, "", "image_encoder", encoder_name)
-    elif encoder_name == "vit":
+    elif encoder_name in ("vit", "vit_l", "clip_vit"):
         _import_vit(b, csd, "", "image_encoder")
     else:
         raise NotImplementedError(

@@ -36,6 +36,10 @@ class ViTEncoder(nn.Module):
     heads: int = 12
     mlp_dim: int = 3072
     dtype: Dtype = jnp.float32
+    # CLIP-style towers (timm ``*_clip_laion2b``, BLEEP's ImageEncoder_CLIP,
+    # reference ``baselines/Bleep/modules.py:97-110``) add a LayerNorm on
+    # the embedded tokens before the first block (timm ``norm_pre``).
+    pre_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -65,6 +69,8 @@ class ViTEncoder(nn.Module):
             jnp.float32,
         )
         x = x + pos.astype(self.dtype)
+        if self.pre_norm:
+            x = LayerNormT(epsilon=1e-6, dtype=self.dtype, name="norm_pre")(x)
 
         for i in range(self.depth):
             x = AttnBlock(
@@ -111,3 +117,16 @@ class TinyCNN(nn.Module):
 
 def vit_b32(dtype=jnp.float32):
     return ViTEncoder(dtype=dtype)
+
+
+def vit_l32(dtype=jnp.float32):
+    """ViT-L/32 (timm ``vit_large_patch32_224_in21k``): BLEEP's ViT-L
+    encoder option (reference ``baselines/Bleep/modules.py:113-126``)."""
+    return ViTEncoder(dim=1024, depth=24, heads=16, mlp_dim=4096, dtype=dtype)
+
+
+def clip_vit_b32(dtype=jnp.float32):
+    """CLIP ViT-B/32 (timm ``vit_base_patch32_224_clip_laion2b``): BLEEP's
+    CLIP-pretrained encoder option (``modules.py:97-110``). Same trunk as
+    ViT-B/32 plus the CLIP pre-norm on the embedded tokens."""
+    return ViTEncoder(dtype=dtype, pre_norm=True)

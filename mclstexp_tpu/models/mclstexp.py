@@ -44,7 +44,8 @@ class MclSTExp(nn.Module):
         cfg = self.config
         dtype = _dtype_of(cfg)
         encoder, feat_dim = build_encoder(
-            cfg.encoder_name, dtype=dtype, remat=cfg.remat_tower
+            cfg.encoder_name, dtype=dtype, remat=cfg.remat_tower,
+            block_impl=cfg.dense_block_impl,
         )
         if feat_dim != cfg.image_dim:
             raise ValueError(
