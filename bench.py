@@ -5,16 +5,19 @@ protocol — DenseNet121 image tower + 2-block spot transformer, batch 128,
 224x224 patches, on-device augmentation fused into the jitted step — the
 exact per-step work of reference ``train.py:30-42``.
 
-Baseline: the reference publishes no throughput numbers (BASELINE.md). The
-denominator below is an engineering estimate of the reference PyTorch
-pipeline on its unspecified single GPU: DenseNet121 fwd+bwd at B=128 fp32 is
-~9 GFLOPs/sample (compute-bound ceiling of a few hundred samples/s on a
-V100-class card), but the reference's input path is a *single-process*
-torch DataLoader (num_workers=0, train.py:49) doing per-item PIL crops from
-full-resolution slides plus ColorJitter/rotation — ~10 ms/item serial with
-the GPU idle, capping effective throughput around 100 spots/s. We use
-REF_SPOTS_PER_SEC = 100 and report vs_baseline against it; BENCH_*.json
-history tracks round-over-round improvement on identical hardware.
+Baseline: the reference publishes no throughput numbers (BASELINE.md), and
+no reference GPU exists in this environment, so the denominator is MEASURED
+from the part of the reference stack that runs on the host and provably
+bounds its throughput: the single-process torch-DataLoader input pipeline
+(num_workers unset, reference train.py:49 — per-item PIL crop + ColorJitter
++ flip + rotation + ToTensor, dataset.py:201-233, reproduced op-for-op in
+tools/bench_reference_input.py). With the loader in-process the GPU idles
+during all of it, so measured items/sec is an UPPER bound on reference
+training throughput — its GPU forward/backward only adds serial time —
+making vs_baseline a CONSERVATIVE speedup (the true ratio is higher).
+Measured fresh at each bench run on the same host (falls back to the round-2
+engineering estimate of 100 if PIL is unavailable). BENCH_*.json history
+tracks round-over-round improvement on identical hardware.
 
 Prints exactly one JSON line on stdout.
 """
@@ -25,7 +28,19 @@ import time
 
 import numpy as np
 
-REF_SPOTS_PER_SEC = 100.0
+REF_SPOTS_PER_SEC_FALLBACK = 100.0  # rounds 1-2 engineering estimate
+
+
+def measure_ref_baseline() -> tuple:
+    """(spots/sec, provenance string) for the vs_baseline denominator."""
+    try:
+        from tools.bench_reference_input import measure_reference_items_per_sec
+
+        ips = measure_reference_items_per_sec(n_items=300)
+        return ips, "measured_input_pipeline_upper_bound"
+    except Exception as e:  # pragma: no cover
+        print(f"reference input-pipeline measurement failed: {e}", file=sys.stderr)
+        return REF_SPOTS_PER_SEC_FALLBACK, "engineering_estimate"
 
 BATCH = 128
 IMAGE = 224
@@ -56,10 +71,13 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 
+    dense_impl = os.environ.get("MCLSTEXP_BENCH_DENSE_IMPL", "concat")
+    if dense_impl != "concat":
+        print(f"dense_block_impl={dense_impl}", file=sys.stderr)
     cfg = Config(
         model=ModelConfig(
             encoder_name="densenet121", image_dim=1024, spot_dim=SPOT_DIM,
-            dtype="bfloat16",
+            dtype="bfloat16", dense_block_impl=dense_impl,
         ),
         train=TrainConfig(batch_size=BATCH),
         eval=EvalConfig(),
@@ -119,21 +137,83 @@ def main():
     )
 
     eval_spots_per_sec, retrieval_qps = bench_eval_path(jax, model, state)
+    fold_eval = bench_fold_eval(jax)
     slide_attn = bench_slide_attention(jax)
 
+    ref_sps, ref_provenance = measure_ref_baseline()
+    print(
+        f"reference baseline: {ref_sps:.1f} spots/s ({ref_provenance})",
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
                 "metric": "train_spots_per_sec",
                 "value": round(spots_per_sec, 2),
                 "unit": "patches+spots/sec/chip",
-                "vs_baseline": round(spots_per_sec / REF_SPOTS_PER_SEC, 2),
+                "vs_baseline": round(spots_per_sec / ref_sps, 2),
+                "ref_baseline_spots_per_sec": round(ref_sps, 2),
+                "ref_baseline_provenance": ref_provenance,
                 "eval_spots_per_sec": round(eval_spots_per_sec, 2),
                 "retrieval_queries_per_sec": round(retrieval_qps, 2),
+                **fold_eval,
                 **slide_attn,
             }
         )
     )
+
+
+def bench_fold_eval(jax, n_sections=32, spots=420, p=256, g=SPOT_DIM, top_k=200,
+                    folds=3):
+    """Per-fold LOO scoring cost, host-concat path vs device-resident masked
+    path (VERDICT r2 #8 / weak #5). The host path re-concatenates 31
+    sections' embeddings+expressions and re-uploads ~40 MB per fold over the
+    tunnel; the resident path keeps one device key set and ships a bool mask.
+    Measures `folds` folds of each at her2st scale and reports ms/fold."""
+    import numpy as np
+
+    from mclstexp_tpu.infer import evaluate
+
+    rng = np.random.default_rng(4)
+    sizes = [spots] * n_sections
+    spot_embs = [rng.normal(size=(s, p)).astype(np.float32) for s in sizes]
+    img_embs = [rng.normal(size=(s, p)).astype(np.float32) for s in sizes]
+    exprs = [rng.normal(size=(s, g)).astype(np.float32) for s in sizes]
+
+    # warm the compile (uniform sizes -> every fold reuses one executable)
+    evaluate.evaluate_fold(0, img_embs[0], spot_embs, exprs,
+                           top_k=top_k, weight_ord=1)
+    t0 = time.perf_counter()
+    for fold in range(1, folds + 1):
+        evaluate.evaluate_fold(fold, img_embs[fold], spot_embs, exprs,
+                               top_k=top_k, weight_ord=1)
+    host_ms = (time.perf_counter() - t0) / folds * 1000
+
+    bounds = evaluate.section_bounds(sizes)
+    import jax.numpy as jnp
+
+    spot_full = jnp.asarray(np.concatenate(spot_embs))
+    img_full = jnp.asarray(np.concatenate(img_embs))
+    expr_full = jnp.asarray(np.concatenate(exprs))
+    jax.block_until_ready((spot_full, img_full, expr_full))
+    # first fold compiles; time the rest
+    evaluate.evaluate_fold_resident(0, img_full, spot_full, expr_full, bounds,
+                                    exprs[0], top_k=top_k, weight_ord=1)
+    t0 = time.perf_counter()
+    for fold in range(1, folds + 1):
+        evaluate.evaluate_fold_resident(fold, img_full, spot_full, expr_full,
+                                        bounds, exprs[fold], top_k=top_k,
+                                        weight_ord=1)
+    resident_ms = (time.perf_counter() - t0) / folds * 1000
+    print(
+        f"fold eval ({n_sections}x{spots} spots, K={top_k}): host-concat "
+        f"{host_ms:.0f} ms/fold vs device-resident {resident_ms:.0f} ms/fold",
+        file=sys.stderr,
+    )
+    return {
+        "fold_eval_host_ms": round(host_ms, 1),
+        "fold_eval_resident_ms": round(resident_ms, 1),
+    }
 
 
 def bench_slide_attention(jax, n=4096, dim=1024, heads=16, dim_head=64,
