@@ -461,13 +461,25 @@ def cmd_predict(args) -> int:
 
 def cmd_baseline(args) -> int:
     """Train + evaluate one baseline family on one fold (the comparison
-    harness the reference vendors under ``baselines/``)."""
+    harness the reference vendors under ``baselines/``).
+
+    Checkpointing mirrors the reference's Lightning ``save_checkpoint`` /
+    ``load_from_checkpoint`` flow (HisToGene tutorial cell 3,
+    ``HIST2ST_train.py:98``): training saves to ``--checkpoint-dir``'s
+    ``baselines/<family>/best_<fold>`` unless ``--no-save``;
+    ``--load-checkpoint`` skips training and evaluates the restored state.
+    ``--super-resolution`` additionally predicts the held-out section on
+    the dense 56-px grid (reference ``HisToGene/predict.py:46-68``).
+    """
     from mclstexp_tpu.baselines.trainer import (
         BaselineConfig,
         evaluate_baseline_fold,
+        init_baseline,
         train_baseline_fold,
         train_bleep_fold,
     )
+    from mclstexp_tpu.data.pipeline import split_fold
+    from mclstexp_tpu.train import checkpoint as ckpt
     from mclstexp_tpu.utils.logging import MetricLogger
 
     cfg = _build_config(args)
@@ -488,8 +500,37 @@ def cmd_baseline(args) -> int:
         encoder_name=args.bleep_encoder,
     )
     logger = MetricLogger()
+    mesh = None
+    if args.dp and args.baseline == "bleep":
+        import jax
+
+        from mclstexp_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh((len(jax.devices()),), ("data",))
+
+    if args.load_checkpoint:
+        train_secs, _ = split_fold(sections, args.fold)
+        steps = len(train_secs) if args.baseline != "bleep" else 1
+        model, state0 = init_baseline(bcfg, train_secs[0], steps_per_epoch=steps)
+        state = ckpt.apply_checkpoint(
+            state0, ckpt.restore_checkpoint(args.load_checkpoint)
+        )
+    elif args.baseline == "bleep":
+        model, state = train_bleep_fold(
+            bcfg, sections, args.fold, logger=logger, mesh=mesh
+        )
+    else:
+        model, state = train_baseline_fold(bcfg, sections, args.fold, logger=logger)
+
+    if not args.load_checkpoint and not args.no_save:
+        out_dir = os.path.join(
+            cfg.train.checkpoint_dir, "baselines", args.baseline,
+            f"best_{args.fold}",
+        )
+        ckpt.save_checkpoint(out_dir, state)
+        print(f"checkpoint: {out_dir}", file=sys.stderr)
+
     if args.baseline == "bleep":
-        model, state = train_bleep_fold(bcfg, sections, args.fold, logger=logger)
         from mclstexp_tpu.baselines.trainer import bleep_embeddings
         from mclstexp_tpu.infer import embed, evaluate
 
@@ -504,10 +545,30 @@ def cmd_baseline(args) -> int:
             weight_ord=0,  # BLEEP simple-average retrieval
         )
     else:
-        model, state = train_baseline_fold(bcfg, sections, args.fold, logger=logger)
         result = evaluate_baseline_fold(bcfg, sections, args.fold, model, state)
+        if args.super_resolution:
+            result["super_resolution"] = _baseline_super_resolution(
+                args, cfg, bcfg, model, state, sections
+            )
     print(json.dumps(result, indent=2))
     return 0
+
+
+def _baseline_super_resolution(args, cfg, bcfg, model, state, sections) -> dict:
+    """Dense-grid prediction of the held-out section (HisToGene SR mode,
+    reference ``predict.py:46-68``); writes (predictions, centers) npz."""
+    from mclstexp_tpu.baselines.super_resolution import sr_predict
+    from mclstexp_tpu.data.st_dataset import _load_slide, her2st_slide_path
+
+    if cfg.data.dataset != "her2st":
+        raise SystemExit("--super-resolution needs --dataset her2st "
+                         "(the reference SR tutorial's dataset)")
+    section = sections[args.fold]
+    slide = _load_slide(her2st_slide_path(cfg.data.data_root, section.name))
+    preds, centers = sr_predict(model, state, section, slide, bcfg)
+    out = args.super_resolution
+    np.savez(out, predictions=preds, centers=centers)
+    return {"path": out, "grid_spots": int(len(centers))}
 
 
 def cmd_bench(args) -> int:
@@ -585,6 +646,17 @@ def main(argv: Optional[List[str]] = None) -> int:
                             "clip_vit", "tiny_cnn"],
                    help="BLEEP image tower (reference "
                         "baselines/Bleep/modules.py:7-132 menu)")
+    p.add_argument("--dp", action="store_true",
+                   help="data-parallel BLEEP training over all local devices "
+                        "(global-batch objective; the reference's DDP analog)")
+    p.add_argument("--no-save", action="store_true",
+                   help="skip the end-of-training checkpoint")
+    p.add_argument("--load-checkpoint", type=str, default="",
+                   help="restore this baseline checkpoint instead of training")
+    p.add_argument("--super-resolution", type=str, default="",
+                   help="also predict the held-out section on the dense 56-px "
+                        "grid (HisToGene SR mode) and write (predictions, "
+                        "centers) to this .npz")
     # let each family resolve its reference default lr (trainer._FAMILY_LR)
     p.set_defaults(fn=cmd_baseline, lr=None)
 

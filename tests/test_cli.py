@@ -70,3 +70,29 @@ def test_cli_unknown_dataset():
 
     with pytest.raises(SystemExit):  # argparse choices reject it
         main(["train", "--dataset", "nope"])
+
+
+def test_cli_baseline_checkpoint_roundtrip(tmp_path, capsys):
+    """baseline trains + saves a checkpoint (the reference's Lightning
+    save_checkpoint analog), then --load-checkpoint skips training and
+    reproduces the exact same eval metrics."""
+    import json as _json
+
+    args = _flags(tmp_path, ["--baseline", "histogene", "--fold", "0",
+                             "--max_epochs", "2", "--patch-size", "16",
+                             "--batch_size", "8"])
+    def last_json(out):
+        # stdout = MetricLogger jsonl lines + one indent=2 result block
+        idx = out.rfind("\n{\n")
+        return _json.loads(out[idx:] if idx >= 0 else out)
+
+    rc = main(["baseline"] + args)
+    assert rc == 0
+    trained = last_json(capsys.readouterr().out)
+    ckpt_dir = tmp_path / "model_result" / "baselines" / "histogene" / "best_0"
+    assert ckpt_dir.exists()
+
+    rc = main(["baseline", "--load-checkpoint", str(ckpt_dir)] + args)
+    assert rc == 0
+    restored = last_json(capsys.readouterr().out)
+    assert restored == trained
