@@ -74,10 +74,16 @@ def main():
     dense_impl = os.environ.get("MCLSTEXP_BENCH_DENSE_IMPL", "concat")
     if dense_impl != "concat":
         print(f"dense_block_impl={dense_impl}", file=sys.stderr)
+    # The flagship her2st protocol: its preset keeps only the reachable
+    # 1024-row prefix of the positional tables (config.py PRESETS note —
+    # bit-identical behavior, ~9.6 ms/step less optimizer/layout traffic
+    # than the reference's 65536-row tables). Override to A/B:
+    #   MCLSTEXP_BENCH_POS_VOCAB=65536 python bench.py
+    pos_vocab = int(os.environ.get("MCLSTEXP_BENCH_POS_VOCAB", "1024"))
     cfg = Config(
         model=ModelConfig(
             encoder_name="densenet121", image_dim=1024, spot_dim=SPOT_DIM,
-            dtype="bfloat16", dense_block_impl=dense_impl,
+            dtype="bfloat16", dense_block_impl=dense_impl, pos_vocab=pos_vocab,
         ),
         train=TrainConfig(batch_size=BATCH),
         eval=EvalConfig(),

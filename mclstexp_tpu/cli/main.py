@@ -336,6 +336,9 @@ def cmd_eval(args) -> int:
         return 0
 
     sections = _load_sections(cfg)
+    from mclstexp_tpu.train.loop import check_positions_in_vocab
+
+    check_positions_in_vocab(sections, cfg.model.pos_vocab)
     sizes = [s.num_spots for s in sections]
     expressions = [s.expression for s in sections]
 

@@ -147,9 +147,10 @@ def _preset(
     weight_ord: int,
     eval_time_augment: bool = False,
     visium_raw_scale: bool = False,
+    pos_vocab: int = 65536,
 ) -> Config:
     return Config(
-        model=ModelConfig(spot_dim=spot_dim),
+        model=ModelConfig(spot_dim=spot_dim, pos_vocab=pos_vocab),
         train=TrainConfig(),
         eval=EvalConfig(top_k=top_k, weight_ord=weight_ord),
         data=DataConfig(
@@ -165,9 +166,19 @@ def _preset(
 #   HER2ST: 785 HVGs, 32 LOO folds, K=200, L1 distance weights
 #   cSCC:   171 HVGs, 12 folds, K=600, L2
 #   Visium: 685 HVGs,  9 folds, K=200, L2, eval-time augmentation quirk
+#
+# pos_vocab: the reference hardcodes nn.Embedding(65536, d) x/y tables
+# (model.py:204) because Visium indexes them by RAW PIXEL coordinates; the
+# ST datasets index by array coords (dataset.py:195, values < ~70), so rows
+# beyond a small prefix are never read by ANY section, train or eval — their
+# values (and their dense-Adam decay) cannot affect any output. The ST
+# presets therefore keep only a 1024-row table: bit-identical model behavior
+# at a tiny fraction of the 2 x 206 MB tables' ~9.6 ms/step optimizer+layout
+# traffic (PROFILE_r02). Out-of-range coords raise at load (train/loop.py)
+# instead of the reference's silent clamp.
 PRESETS = {
-    "her2st": _preset("her2st", 785, 32, 200, 1),
-    "cscc": _preset("cscc", 171, 12, 600, 2),
+    "her2st": _preset("her2st", 785, 32, 200, 1, pos_vocab=1024),
+    "cscc": _preset("cscc", 171, 12, 600, 2, pos_vocab=1024),
     "visium": _preset("visium", 685, 9, 200, 2, eval_time_augment=True,
                       visium_raw_scale=True),
     "synthetic": Config(

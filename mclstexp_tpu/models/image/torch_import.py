@@ -200,16 +200,24 @@ def import_reference_state_dict(
             f"torch import for encoder {cfg.encoder_name!r} not supported"
         )
 
+    # Reference checkpoints always carry (65536, d) tables (model.py:204);
+    # when cfg.pos_vocab keeps only the reachable prefix (ST presets,
+    # config.py), slice it — rows past the prefix are never indexed by the
+    # datasets those presets serve, so the slice is exact.
+    def _pos_table(key):
+        t = b.take(sd, key)
+        return t[: cfg.pos_vocab] if cfg.pos_vocab < t.shape[0] else t
+
     if cfg.variant == "attention":
         for i in range(cfg.head_layers):
             _import_attn_block(
                 b, sd, f"spot_encoder.{i}", ("spot_encoder", f"block{i}")
             )
-        b.set(b.params, ("spot_encoder", "pos", "x_embed"), b.take(sd, "x_embed.weight"))
-        b.set(b.params, ("spot_encoder", "pos", "y_embed"), b.take(sd, "y_embed.weight"))
+        b.set(b.params, ("spot_encoder", "pos", "x_embed"), _pos_table("x_embed.weight"))
+        b.set(b.params, ("spot_encoder", "pos", "y_embed"), _pos_table("y_embed.weight"))
     else:
-        b.set(b.params, ("pos", "x_embed"), b.take(sd, "x_embed.weight"))
-        b.set(b.params, ("pos", "y_embed"), b.take(sd, "y_embed.weight"))
+        b.set(b.params, ("pos", "x_embed"), _pos_table("x_embed.weight"))
+        b.set(b.params, ("pos", "y_embed"), _pos_table("y_embed.weight"))
 
     _import_projection(b, sd, "image_projection", "image_projection")
     _import_projection(b, sd, "spot_projection", "spot_projection")

@@ -70,6 +70,22 @@ def train_fold(
         jax.config.update("jax_debug_nans", prev_debug_nans)
 
 
+def check_positions_in_vocab(sections: Sequence[Section], pos_vocab: int) -> None:
+    """Raise if any spot coordinate would index past the positional tables.
+
+    The ST presets shrink the reference's 65536-row x/y tables to the rows
+    actually reachable (config.py PRESETS note); jnp.take would silently
+    clamp an out-of-range coordinate, so we fail loudly here instead."""
+    for s in sections:
+        m = int(np.max(s.positions)) if s.num_spots else 0
+        if m >= pos_vocab:
+            raise ValueError(
+                f"section {s.name}: position coordinate {m} >= pos_vocab "
+                f"{pos_vocab}; raise ModelConfig.pos_vocab (the visium "
+                f"preset uses 65536 for raw pixel coords)"
+            )
+
+
 def _train_fold(
     cfg: Config,
     sections: Sequence[Section],
@@ -78,6 +94,7 @@ def _train_fold(
     mesh,
     resume: bool,
 ) -> TrainState:
+    check_positions_in_vocab(sections, cfg.model.pos_vocab)
     train_secs, test_sec = split_fold(sections, fold)
     data = ConcatSections.from_sections(train_secs)
 

@@ -222,6 +222,75 @@ def test_densenet_import_structure(rng):
     assert np.asarray(out[0]).shape == (1, 8)
 
 
+def test_pos_vocab_prefix_is_exact(rng):
+    """The ST presets keep only the reachable prefix of the reference's
+    65536-row positional tables (config.py PRESETS note). Three properties:
+    the importer slices reference tables to cfg.pos_vocab; a prefix model
+    produces BIT-IDENTICAL spot encodings for in-range coords; and
+    out-of-range coords fail loudly instead of silently clamping."""
+    import mclstexp_tpu.models.image.torch_import as ti
+    from mclstexp_tpu.train.loop import check_positions_in_vocab
+
+    spot_dim, proj_dim, heads, dim_head, layers = 12, 8, 2, 4, 1
+    full_vocab, prefix = 256, 32
+    sd = _make_reference_sd(rng, spot_dim, proj_dim, heads, dim_head, layers,
+                            vocab=full_vocab)
+    sd_np = {k: v.numpy() for k, v in sd.items()}
+
+    def build(vocab):
+        cfg = ModelConfig(
+            encoder_name="tiny_cnn", image_dim=128, spot_dim=spot_dim,
+            projection_dim=proj_dim, heads_num=heads, heads_dim=dim_head,
+            head_layers=layers, pos_vocab=vocab,
+        )
+        b = ti._TreeBuilder()
+        for i in range(layers):
+            ti._import_attn_block(b, sd_np, f"spot_encoder.{i}",
+                                  ("spot_encoder", f"block{i}"))
+        tab = lambda k: sd_np[k][:vocab]
+        b.set(b.params, ("spot_encoder", "pos", "x_embed"), tab("x_embed.weight"))
+        b.set(b.params, ("spot_encoder", "pos", "y_embed"), tab("y_embed.weight"))
+        ti._import_projection(b, sd_np, "spot_projection", "spot_projection")
+        return MclSTExp(cfg), b.params
+
+    expr = jnp.asarray(rng.normal(size=(6, spot_dim)).astype(np.float32))
+    pos = jnp.asarray(rng.integers(0, prefix, size=(6, 2)).astype(np.int32))
+
+    outs = {}
+    for vocab in (full_vocab, prefix):
+        model, spot_params = build(vocab)
+        batch = {"image": jnp.zeros((6, 16, 16, 3)), "expression": expr,
+                 "position": pos}
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        params = {**variables["params"], **spot_params}
+        outs[vocab] = np.asarray(model.apply(
+            {"params": params}, expr, pos, method=MclSTExp.encode_spots
+        ))
+    np.testing.assert_array_equal(outs[prefix], outs[full_vocab])
+
+    # the full importer slices reference-sized tables to cfg.pos_vocab
+    cfg_small = ModelConfig(
+        encoder_name="tiny_cnn", image_dim=128, spot_dim=spot_dim,
+        projection_dim=proj_dim, heads_num=heads, heads_dim=dim_head,
+        head_layers=layers, pos_vocab=prefix,
+    )
+    b = ti._TreeBuilder()
+    tab = b.take(sd_np, "x_embed.weight")
+    sliced = tab[: cfg_small.pos_vocab] if cfg_small.pos_vocab < tab.shape[0] else tab
+    assert sliced.shape == (prefix, spot_dim)
+
+    # the loud out-of-range guard
+    from mclstexp_tpu.data import synthetic
+
+    sections = synthetic.make_dataset(num_sections=1, num_spots=8,
+                                      num_genes=4, patch_size=8)
+    bad = sections[0]
+    bad.positions[0] = [prefix + 5, 0]
+    with pytest.raises(ValueError, match="pos_vocab"):
+        check_positions_in_vocab([bad], prefix)
+    check_positions_in_vocab(sections, 64)  # in-range passes
+
+
 def test_import_rejects_unconsumed(rng):
     cfg = ModelConfig(encoder_name="densenet121", image_dim=1024, spot_dim=16,
                       projection_dim=8, heads_num=2, heads_dim=4, head_layers=1,
