@@ -27,7 +27,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import pickle
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 

@@ -27,14 +27,13 @@ from __future__ import annotations
 import importlib.util
 import os
 import sys
-import types
 
 import jax
 import numpy as np
 import pytest
 import torch
 
-from mclstexp_tpu.config import ModelConfig, TrainConfig
+from mclstexp_tpu.config import ModelConfig
 from mclstexp_tpu.core.losses import symmetric_infonce
 from mclstexp_tpu.data.section import Section
 from mclstexp_tpu.models.image.torch_import import import_reference_state_dict
