@@ -174,60 +174,99 @@ def _bake_augment(key: jax.Array, patches: jax.Array, n_bake: int) -> jax.Array:
     return jax.vmap(one_bake)(jax.random.split(key, n_bake))
 
 
-def make_slide_step(model, cfg: BaselineConfig) -> Callable:
-    """Jitted per-slide train step for the regression baselines."""
+def _slide_loss(
+    model, cfg: BaselineConfig, params, batch_stats,
+    batch: Dict[str, jax.Array], rng: jax.Array,
+):
+    """(loss, new_batch_stats) of ONE padded slide — the per-slide math
+    shared by the sequential step and the vmapped slide-DP step."""
     uses_adj = cfg.model in ("hist2st", "thitogene")
     n_bake = resolve_bake(cfg)
+    drop_rng, bake_rng = jax.random.split(rng)
+    patches = batch["patches"].astype(jnp.float32) / 255.0
+    mask = batch["mask"]
+
+    def apply_model(pats, train):
+        variables = {"params": params, "batch_stats": batch_stats}
+        kwargs = dict(train=train, mask=mask)
+        args = (pats, batch["positions"])
+        if uses_adj:
+            args = args + (batch["adj"],)
+        return model.apply(
+            variables, *args, **kwargs,
+            mutable=["batch_stats"] if train else [],
+            rngs={"dropout": drop_rng},
+        )
+
+    out, updates = apply_model(patches, True)
+    new_bs = updates.get("batch_stats", batch_stats)
+    if cfg.model == "hist2st":
+        pred, extra, h = out
+    else:
+        pred, extra, h = out, None, None
+    loss = masked_mse(pred, batch["expression"], mask)
+    if cfg.model == "hist2st" and extra is not None and "counts" in batch:
+        if cfg.nb:
+            r, p = extra
+            ll = bl.nb_loss(batch["counts"], r, p)
+        else:
+            m, d, pi = extra
+            ll = bl.zinb_loss(batch["counts"], m, d, pi, batch["size_factors"])
+        loss = loss + cfg.zinb_coef * ll
+    if cfg.model == "hist2st" and n_bake > 0:
+        baked = _bake_augment(bake_rng, patches, n_bake)
+        preds = []
+        for i in range(n_bake):
+            (bp, _, _), _ = apply_model(baked[i], True)
+            preds.append(bp)
+        new_pred = jnp.mean(jnp.stack(preds), axis=0)
+        loss = loss + cfg.lamb * masked_mse(new_pred, pred, mask)
+    return loss, new_bs
+
+
+def make_slide_step(model, cfg: BaselineConfig, donate: bool = True) -> Callable:
+    """Jitted per-slide train step for the regression baselines."""
 
     def step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
-        drop_rng, bake_rng = jax.random.split(rng)
-        patches = batch["patches"].astype(jnp.float32) / 255.0
-        mask = batch["mask"]
-
-        def apply_model(params, pats, train):
-            variables = {"params": params, "batch_stats": state.batch_stats}
-            kwargs = dict(train=train, mask=mask)
-            args = (pats, batch["positions"])
-            if uses_adj:
-                args = args + (batch["adj"],)
-            return model.apply(
-                variables, *args, **kwargs,
-                mutable=["batch_stats"] if train else [],
-                rngs={"dropout": drop_rng},
-            )
-
         def loss_fn(params):
-            out, updates = apply_model(params, patches, True)
-            new_bs = updates.get("batch_stats", state.batch_stats)
-            if cfg.model == "hist2st":
-                pred, extra, h = out
-            else:
-                pred, extra, h = out, None, None
-            loss = masked_mse(pred, batch["expression"], mask)
-            if cfg.model == "hist2st" and extra is not None and "counts" in batch:
-                if cfg.nb:
-                    r, p = extra
-                    ll = bl.nb_loss(batch["counts"], r, p)
-                else:
-                    m, d, pi = extra
-                    ll = bl.zinb_loss(
-                        batch["counts"], m, d, pi, batch["size_factors"]
-                    )
-                loss = loss + cfg.zinb_coef * ll
-            if cfg.model == "hist2st" and n_bake > 0:
-                baked = _bake_augment(bake_rng, patches, n_bake)
-                preds = []
-                for i in range(n_bake):
-                    (bp, _, _), _ = apply_model(params, baked[i], True)
-                    preds.append(bp)
-                new_pred = jnp.mean(jnp.stack(preds), axis=0)
-                loss = loss + cfg.lamb * masked_mse(new_pred, pred, mask)
-            return loss, new_bs
+            return _slide_loss(model, cfg, params, state.batch_stats, batch, rng)
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         return state.apply_gradients(grads, new_bs), loss
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_slide_dp_step(model, cfg: BaselineConfig, donate: bool = True) -> Callable:
+    """Slide-per-device data parallelism for the slide baselines.
+
+    batch: every leaf stacked (D, ...) over D equally-padded slides; rngs
+    (D, 2) per-slide keys. The loss is the MEAN of the per-slide losses and
+    one Adam step consumes the mean gradient — exactly what torch DDP with
+    batch=1 slide per rank computes (the reference never distributes these
+    baselines; its only DDP is BLEEP). Shard the slide axis over a mesh
+    "data" axis to spread slides across devices. BN batch statistics are
+    averaged across slides (DDP keeps rank-local stats and implicitly
+    ships rank 0's at save; the average is the symmetric choice —
+    documented divergence). NOTE: D slides per optimizer step is a
+    DIFFERENT trajectory from the reference's strictly sequential
+    one-slide-per-step Lightning flow — this is a scaling mode, not the
+    parity default.
+    """
+
+    def step(state: TrainState, batch: Dict[str, jax.Array], rngs: jax.Array):
+        def loss_fn(params):
+            def one(b, r):
+                return _slide_loss(model, cfg, params, state.batch_stats, b, r)
+
+            losses, new_bs = jax.vmap(one)(batch, rngs)
+            mean_bs = jax.tree.map(lambda x: jnp.mean(x, axis=0), new_bs)
+            return jnp.mean(losses), mean_bs
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads, new_bs), loss
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
 def baseline_optimizer(
@@ -306,18 +345,65 @@ def train_baseline_fold(
     sections: Sequence[Section],
     fold: int,
     logger: Optional[MetricLogger] = None,
+    mesh=None,
+    slides_per_step: int = 1,
 ) -> Tuple[Any, TrainState]:
-    """Leave-one-out training of a slide-level baseline."""
+    """Leave-one-out training of a slide-level baseline.
+
+    Default: the reference's strictly sequential one-slide-per-optimizer-
+    step Lightning flow. mesh and/or slides_per_step > 1 switch to the
+    slide-DP scaling mode (``make_slide_dp_step``): D equally-padded slides
+    per step, mean loss/gradient, slide axis sharded over the mesh's "data"
+    axis — torch-DDP-at-batch-1 semantics, NOT the sequential trajectory.
+    """
     logger = logger or MetricLogger()
     train_secs, _ = split_fold(sections, fold)
-    # one optimizer step per slide per epoch -> steps_per_epoch = #slides
-    model, state = init_baseline(cfg, train_secs[0], steps_per_epoch=len(train_secs))
-    step_fn = make_slide_step(model, cfg)
     uses_adj = cfg.model in ("hist2st", "thitogene")
+    dp = mesh is not None or slides_per_step > 1
+    d_slides = (
+        slides_per_step if slides_per_step > 1
+        else (mesh.shape["data"] if mesh is not None else 1)
+    )
+    steps_per_epoch = -(-len(train_secs) // d_slides) if dp else len(train_secs)
+    model, state = init_baseline(cfg, train_secs[0], steps_per_epoch=steps_per_epoch)
 
-    padded = [pad_slide(s, cfg.bucket, uses_adj, cfg) for s in train_secs]
     rng = jax.random.PRNGKey(cfg.seed)
     order_rng = np.random.default_rng(cfg.seed)
+
+    if dp:
+        # stacking needs one common padded extent: every slide pads to the
+        # training set's max bucket (masks keep the math exact)
+        target = max(
+            ((s.num_spots + cfg.bucket - 1) // cfg.bucket) * cfg.bucket
+            for s in train_secs
+        )
+        padded = [pad_slide(s, target, uses_adj, cfg) for s in train_secs]
+        dp_step = make_slide_dp_step(model, cfg)
+        from mclstexp_tpu.parallel.mesh import shard_batch
+
+        for epoch in range(cfg.max_epochs):
+            meter = AvgMeter("loss")
+            perm = order_rng.permutation(len(padded))
+            for start in range(0, len(perm), d_slides):
+                chunk = perm[start:start + d_slides]
+                stacked = {
+                    k: np.stack([padded[i][k] for i in chunk])
+                    for k in padded[chunk[0]]
+                }
+                if mesh is not None:
+                    stacked = shard_batch(stacked, mesh)
+                else:
+                    stacked = {k: jnp.asarray(v) for k, v in stacked.items()}
+                rngs = jnp.stack([
+                    jax.random.fold_in(rng, epoch * 1000 + int(i)) for i in chunk
+                ])
+                state, loss = dp_step(state, stacked, rngs)
+                meter.update(float(loss), len(chunk))
+            logger.log(model=cfg.model, fold=fold, epoch=epoch, loss=meter.avg)
+        return model, state
+
+    step_fn = make_slide_step(model, cfg)
+    padded = [pad_slide(s, cfg.bucket, uses_adj, cfg) for s in train_secs]
     for epoch in range(cfg.max_epochs):
         meter = AvgMeter("loss")
         for i in order_rng.permutation(len(padded)):

@@ -504,7 +504,7 @@ def cmd_baseline(args) -> int:
     )
     logger = MetricLogger()
     mesh = None
-    if args.dp and args.baseline == "bleep":
+    if args.dp:
         import jax
 
         from mclstexp_tpu.parallel.mesh import make_mesh
@@ -523,7 +523,9 @@ def cmd_baseline(args) -> int:
             bcfg, sections, args.fold, logger=logger, mesh=mesh
         )
     else:
-        model, state = train_baseline_fold(bcfg, sections, args.fold, logger=logger)
+        model, state = train_baseline_fold(
+            bcfg, sections, args.fold, logger=logger, mesh=mesh
+        )
 
     if not args.load_checkpoint and not args.no_save:
         out_dir = os.path.join(
@@ -650,8 +652,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="BLEEP image tower (reference "
                         "baselines/Bleep/modules.py:7-132 menu)")
     p.add_argument("--dp", action="store_true",
-                   help="data-parallel BLEEP training over all local devices "
-                        "(global-batch objective; the reference's DDP analog)")
+                   help="data-parallel training over all local devices: BLEEP "
+                        "keeps its exact global-batch objective; the slide "
+                        "families run slide-per-device with mean gradients "
+                        "(torch-DDP-at-batch-1 semantics — a scaling mode, "
+                        "not the sequential parity trajectory)")
     p.add_argument("--no-save", action="store_true",
                    help="skip the end-of-training checkpoint")
     p.add_argument("--load-checkpoint", type=str, default="",

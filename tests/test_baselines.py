@@ -257,6 +257,87 @@ def test_bleep_train_fold_with_mesh(rng):
     assert any("loss" in r and np.isfinite(r["loss"]) for r in logger.records)
 
 
+def test_slide_dp_step_mean_of_per_slide_losses(rng):
+    """make_slide_dp_step's loss == mean of the sequential per-slide losses
+    from the same state and per-slide rngs (the torch-DDP-at-batch-1
+    objective for the slide families)."""
+    from mclstexp_tpu.baselines.trainer import (
+        init_baseline, make_slide_dp_step, make_slide_step,
+    )
+
+    sections = synthetic.make_dataset(num_sections=4, num_spots=12,
+                                      num_genes=8, patch_size=16, seed=9)
+    cfg = BaselineConfig(model="histogene", n_genes=8, patch_size=16,
+                         bucket=16, max_epochs=1)
+    model, state = init_baseline(cfg, sections[0])
+    padded = [pad_slide(s, 16, False, cfg) for s in sections]
+    rngs = [jax.random.fold_in(jax.random.PRNGKey(1), i) for i in range(4)]
+
+    seq_step = make_slide_step(model, cfg, donate=False)
+    seq_losses = []
+    for p, r in zip(padded, rngs):
+        _, loss = seq_step(state, {k: jnp.asarray(v) for k, v in p.items()}, r)
+        seq_losses.append(float(loss))
+
+    dp_step = make_slide_dp_step(model, cfg, donate=False)
+    stacked = {k: jnp.stack([np.asarray(p[k]) for p in padded]) for k in padded[0]}
+    _, dp_loss = dp_step(state, stacked, jnp.stack(rngs))
+    np.testing.assert_allclose(float(dp_loss), np.mean(seq_losses), rtol=2e-5)
+
+
+def test_slide_dp_sharded_matches_replicated(rng):
+    """Slide-per-device DP over an 8-device mesh == the same vmapped step on
+    one device: identical loss and updated params."""
+    from mclstexp_tpu.baselines.trainer import init_baseline, make_slide_dp_step
+    from mclstexp_tpu.parallel.mesh import make_mesh, shard_batch
+
+    sections = synthetic.make_dataset(num_sections=8, num_spots=10,
+                                      num_genes=8, patch_size=16, seed=10)
+    cfg = BaselineConfig(model="histogene", n_genes=8, patch_size=16,
+                         bucket=16, max_epochs=1)
+    model, state = init_baseline(cfg, sections[0])
+    state_b = jax.tree.map(jnp.array, state)
+    padded = [pad_slide(s, 16, False, cfg) for s in sections]
+    stacked = {k: np.stack([np.asarray(p[k]) for p in padded]) for k in padded[0]}
+    rngs = jnp.stack([jax.random.fold_in(jax.random.PRNGKey(2), i)
+                      for i in range(8)])
+    dp_step = make_slide_dp_step(model, cfg)
+
+    state1, loss1 = dp_step(
+        state, {k: jnp.asarray(v) for k, v in stacked.items()}, rngs
+    )
+    mesh = make_mesh((8,), ("data",))
+    state8, loss8 = dp_step(state_b, shard_batch(stacked, mesh), rngs)
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=2e-5)
+    for (p1, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(state1.params)[0],
+        jax.tree_util.tree_flatten_with_path(state8.params)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=5e-5,
+            err_msg=jax.tree_util.keystr(p1),
+        )
+
+
+def test_slide_dp_train_fold(rng):
+    """train_baseline_fold(mesh=...) drives the slide-DP path end-to-end,
+    including an uneven final chunk (3 train slides over an 8-wide mesh)."""
+    from mclstexp_tpu.baselines.trainer import train_baseline_fold
+    from mclstexp_tpu.parallel.mesh import make_mesh
+
+    sections = synthetic.make_dataset(num_sections=4, num_spots=10,
+                                      num_genes=8, patch_size=16, seed=12)
+    cfg = BaselineConfig(model="histogene", n_genes=8, patch_size=16,
+                         bucket=16, max_epochs=2)
+    logger = MetricLogger(echo=False)
+    model, state = train_baseline_fold(
+        cfg, sections, 0, logger=logger, mesh=make_mesh((8,), ("data",)),
+        slides_per_step=2,
+    )
+    losses = [r["loss"] for r in logger.records if "loss" in r]
+    assert len(losses) == 2 and all(np.isfinite(l) for l in losses)
+
+
 def test_bleep_forward_and_step(rng):
     cfg = BaselineConfig(model="bleep", n_genes=16, encoder_name="tiny_cnn",
                          batch_size=8, max_epochs=1, lr=1e-3)

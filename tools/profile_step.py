@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="hermetic CPU smoke run")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize tower dense layers (ModelConfig.remat_tower)")
+    ap.add_argument("--pos-vocab", type=int, default=1024,
+                    help="positional-table rows (flagship ST preset 1024; "
+                         "65536 = the reference-sized tables)")
     ap.add_argument("--only", type=str, default="",
                     help="comma-separated variants to run (full,no_aug,aug_only,"
                          "img_fwd_bwd,img_fwd,spot_only); each fresh variant is "
@@ -69,7 +72,8 @@ def main():
 
     cfg_m = ModelConfig(encoder_name=args.encoder,
                         image_dim=ENCODER_DIMS[args.encoder], spot_dim=G,
-                        dtype="bfloat16", remat_tower=args.remat)
+                        dtype="bfloat16", remat_tower=args.remat,
+                        pos_vocab=args.pos_vocab)
     cfg_t = TrainConfig(batch_size=B)
 
     rng = np.random.default_rng(0)
