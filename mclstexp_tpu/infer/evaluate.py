@@ -94,41 +94,6 @@ def evaluate_fold_resident(
     return expression_metrics(pred_expr, expression_gt)
 
 
-def evaluate_folds(
-    image_embeddings_per_fold: Sequence[np.ndarray],
-    spot_embeddings_per_fold: Sequence[Sequence[np.ndarray]],
-    expressions: Sequence[np.ndarray],
-    top_k: int,
-    weight_ord: int = 1,
-    prediction_dir: Optional[str] = None,
-    section_names: Optional[Sequence[str]] = None,
-) -> Dict[str, object]:
-    """Full protocol over all folds; returns per-fold metrics and averages."""
-    per_fold = []
-    for fold in range(len(expressions)):
-        pred_path = None
-        if prediction_dir and section_names:
-            pred_path = os.path.join(
-                prediction_dir,
-                section_names[fold],
-                "matched_spot_expression_pred.npy",
-            )
-        m = evaluate_fold(
-            fold,
-            image_embeddings_per_fold[fold],
-            spot_embeddings_per_fold[fold],
-            expressions,
-            top_k=top_k,
-            weight_ord=weight_ord,
-            prediction_path=pred_path,
-        )
-        per_fold.append(m)
-    avg = {
-        k: float(np.mean([m[k] for m in per_fold])) for k in per_fold[0]
-    }
-    return {"per_fold": per_fold, "avg": avg}
-
-
 def load_reference_embeddings(
     embedding_dir: str, num_sections: int, fold: int
 ) -> tuple[np.ndarray, List[np.ndarray]]:
