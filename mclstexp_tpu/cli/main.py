@@ -541,13 +541,19 @@ def cmd_baseline(args) -> int:
 
         img, spot = bleep_embeddings(model, state, sections)
         sizes = [s.num_spots for s in sections]
+        # the reference notebook's three modes (BLEEP_inference.ipynb cell 5)
+        top_k, weight_ord = {
+            "simple": (1, 0),           # nearest match only
+            "average": (50, 0),         # uniform top-50
+            "weighted": (50, -1),       # exp(-(d^2 - d_top^2 + 1)) top-50
+        }[args.bleep_retrieval]
         result = evaluate.evaluate_fold(
             args.fold,
             embed.split_by_section(img, sizes)[args.fold],
             embed.split_by_section(spot, sizes),
             [s.expression for s in sections],
-            top_k=50,
-            weight_ord=0,  # BLEEP simple-average retrieval
+            top_k=top_k,
+            weight_ord=weight_ord,
         )
     else:
         result = evaluate_baseline_fold(bcfg, sections, args.fold, model, state)
@@ -657,6 +663,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "families run slide-per-device with mean gradients "
                         "(torch-DDP-at-batch-1 semantics — a scaling mode, "
                         "not the sequential parity trajectory)")
+    p.add_argument("--bleep-retrieval", type=str, default="average",
+                   choices=["simple", "average", "weighted"],
+                   help="BLEEP inference mode (BLEEP_inference.ipynb cell 5): "
+                        "nearest match / uniform top-50 / exp-weighted top-50")
     p.add_argument("--no-save", action="store_true",
                    help="skip the end-of-training checkpoint")
     p.add_argument("--load-checkpoint", type=str, default="",

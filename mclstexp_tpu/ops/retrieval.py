@@ -128,10 +128,20 @@ def _aggregate_chunk(
 ) -> Tuple[jax.Array, jax.Array]:
     sel_emb = jnp.take(key_emb, indices, axis=0)  # (C, K, D)
     if weight_ord == 0:
-        # uniform weights — BLEEP's "simple average" retrieval mode
+        # uniform weights — BLEEP's "average" retrieval mode
         # (reference BLEEP_inference.ipynb cell 5)
         k = indices.shape[1]
         w = jnp.full(indices.shape, 1.0 / k, jnp.float32)
+    elif weight_ord == -1:
+        # BLEEP's "weighted_average" mode (BLEEP_inference.ipynb cell 5):
+        # w_j = exp(-(d_j^2 - d_0^2 + 1)) over the top-K, where d^2 is the
+        # squared L2 distance to the query and d_0^2 belongs to the
+        # TOP-RANKED (by cosine) match — reproduced including that quirk
+        # (d_0 is not necessarily the smallest L2 distance).
+        diff = sel_emb - query_chunk[:, None, :]
+        d2 = jnp.sum(jnp.square(diff), axis=-1)  # (C, K)
+        w = jnp.exp(-(d2 - d2[:, :1] + 1.0))
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
     else:
         diff = sel_emb - query_chunk[:, None, :]
         if weight_ord == 1:
@@ -170,7 +180,8 @@ def retrieve_and_aggregate(
     Replaces the reference's find_matches + per-spot Python aggregation loop
     (``evel_her2st.py:174-187``) with device-resident fused compute.
     weight_ord: 1 = L1 1/d^2 (her2st), 2 = L2 1/d^2 (cscc/visium),
-    0 = uniform (BLEEP simple-average mode).
+    0 = uniform (BLEEP "average" mode), -1 = BLEEP "weighted_average"
+    (exp(-(d^2 - d_top^2 + 1)) over the top-K).
 
     streaming: None (default) auto-switches to the memory-bounded
     ``streaming_topk`` scan when Nq * Nk exceeds STREAMING_SCORE_ELEMENTS —

@@ -102,6 +102,33 @@ def test_retrieve_and_aggregate_streaming_equals_dense(rng):
     assert 100_000 * 10_000_000 > retrieval.STREAMING_SCORE_ELEMENTS
 
 
+def test_bleep_weighted_average_matches_notebook(rng):
+    """weight_ord=-1 reproduces the reference notebook's weighted_average
+    formula (BLEEP_inference.ipynb cell 5): np.average with weights
+    exp(-(d_j^2 - d_0^2 + 1)) over the top-50, d_0 from the TOP-RANKED
+    cosine match (quirk: not necessarily the smallest L2)."""
+    nk, nq, d, g, k = 300, 9, 8, 5, 50
+    key = rng.normal(size=(nk, d)).astype(np.float32)
+    expr = rng.normal(size=(nk, g)).astype(np.float32)
+    query = rng.normal(size=(nq, d)).astype(np.float32)
+
+    kn = key / np.linalg.norm(key, axis=-1, keepdims=True)
+    qn = query / np.linalg.norm(query, axis=-1, keepdims=True)
+    indices = np.argsort(-(qn @ kn.T), axis=1)[:, :k]
+    exp_emb = np.zeros((nq, d)); exp_expr = np.zeros((nq, g))
+    for i in range(nq):
+        a = np.sum((key[indices[i, 0]] - query[i]) ** 2)
+        w = np.exp(-(np.sum((key[indices[i]] - query[i]) ** 2, axis=1) - a + 1))
+        exp_emb[i] = np.average(key[indices[i]], axis=0, weights=w)
+        exp_expr[i] = np.average(expr[indices[i]], axis=0, weights=w)
+
+    pe, px = retrieval.retrieve_and_aggregate(
+        key, expr, query, top_k=k, weight_ord=-1
+    )
+    np.testing.assert_allclose(pe, exp_emb, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(px, exp_expr, rtol=1e-4, atol=1e-5)
+
+
 def test_masked_retrieval_equals_exclusion(rng):
     """The device-resident LOO form (full key set + held-out mask) selects
     and aggregates exactly what the reference's concat-the-others form does
