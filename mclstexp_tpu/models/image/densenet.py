@@ -62,6 +62,124 @@ class DenseLayer(nn.Module):
         return h
 
 
+class _SlicedBN(nn.Module):
+    """BatchNormT over a channel RANGE of a (total,)-channel param set.
+
+    Lets the piecewise dense layer normalize each feature piece against the
+    same parameters/stats a concat-input BatchNorm would hold — channels
+    are disjoint across pieces, so per-piece batch statistics (and their
+    sliced EMA updates) are mathematically identical to normalizing the
+    concatenated input. Param/stat names match BatchNormT, so the tree is
+    bit-compatible with the concat implementation.
+    """
+
+    total: int
+    use_running_average: bool = True
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, piece: jax.Array, offset: int) -> jax.Array:
+        c = piece.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (self.total,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.total,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(self.total, jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(self.total, jnp.float32)
+        )
+        sl = slice(offset, offset + c)
+        if self.use_running_average:
+            mean, var = ra_mean.value[sl], ra_var.value[sl]
+        else:
+            x32 = piece.astype(jnp.float32)
+            axes = tuple(range(piece.ndim - 1))
+            n = piece.size // c
+            mean = jnp.mean(x32, axis=axes)
+            var = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean)
+            if not self.is_initializing():
+                unbiased = var * (n / max(n - 1, 1))
+                # jnp.asarray: callers may seed batch_stats with NumPy
+                # arrays (torch import), which lack the .at update API.
+                rm = jnp.asarray(ra_mean.value)
+                rv = jnp.asarray(ra_var.value)
+                ra_mean.value = rm.at[sl].set(
+                    self.momentum * rm[sl] + (1.0 - self.momentum) * mean
+                )
+                ra_var.value = rv.at[sl].set(
+                    self.momentum * rv[sl] + (1.0 - self.momentum) * unbiased
+                )
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale[sl]
+        y = (piece.astype(jnp.float32) - mean) * inv + bias[sl]
+        return y.astype(self.dtype)
+
+
+class _SlicedConv1x1(nn.Module):
+    """1x1 conv over a virtual concatenated input, evaluated piecewise.
+
+    Holds ONE (1, 1, total_in, features) kernel (name/shape/init identical
+    to the concat path's nn.Conv) and computes
+    ``sum_j piece_j @ kernel[off_j:off_j+c_j]`` — the same contraction as
+    conv1x1(concat(pieces)) with the channel reduction re-associated, so
+    the per-layer prefix concat never materializes.
+    """
+
+    features: int
+    total_in: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pieces) -> jax.Array:  # [(piece, offset)]
+        kernel = self.param(
+            "kernel", conv_kaiming_init,
+            (1, 1, self.total_in, self.features), jnp.float32,
+        )
+        out = None
+        for piece, off in pieces:
+            k = kernel[0, 0, off : off + piece.shape[-1]].astype(self.dtype)
+            part = jnp.einsum(
+                "bhwc,cf->bhwf", piece, k, preferred_element_type=self.dtype
+            )
+            out = part if out is None else out + part
+        return out
+
+
+class DenseLayerP(nn.Module):
+    """DenseLayer evaluated on the un-concatenated feature pieces.
+
+    Identical parameter tree (and init values) to DenseLayer; only the
+    norm1-relu-conv1 stage is decomposed per piece.
+    """
+
+    growth_rate: int
+    bn_size: int
+    total_in: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pieces, train: bool = False) -> jax.Array:
+        bn1 = _SlicedBN(
+            self.total_in, use_running_average=not train, dtype=self.dtype,
+            name="norm1",
+        )
+        conv1 = _SlicedConv1x1(
+            self.bn_size * self.growth_rate, self.total_in, self.dtype,
+            name="conv1",
+        )
+        h = conv1([(nn.relu(bn1(p, off)), off) for p, off in pieces])
+        h = BatchNormT(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="norm2",
+        )(h)
+        h = nn.relu(h)
+        return nn.Conv(
+            self.growth_rate, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+            kernel_init=conv_kaiming_init, dtype=self.dtype, name="conv2",
+        )(h)
+
+
 class DenseBlock(nn.Module):
     num_layers: int
     growth_rate: int
@@ -88,6 +206,22 @@ class DenseBlock(nn.Module):
         # for step time on v5e at B=128 (82.5 vs 77.8 ms — recomputed
         # activations still round-trip HBM; PROFILE_r02.md); useful only
         # when HBM capacity, not time, is the limit (larger B or towers).
+        if self.block_impl == "piecewise":
+            # Never materialize the per-layer prefix concat: each layer's
+            # BN-relu-conv1 contraction runs piece-by-piece against sliced
+            # params (see DenseLayerP); only the block OUTPUT concatenates,
+            # once, for the transition. Param tree identical to "concat".
+            pieces = [(x.astype(self.dtype), 0)]
+            c = x.shape[-1]
+            for i in range(self.num_layers):
+                new = DenseLayerP(
+                    self.growth_rate, self.bn_size, total_in=c,
+                    dtype=self.dtype, name=f"denselayer{i + 1}",
+                )(pieces, train)
+                pieces.append((new.astype(self.dtype), c))
+                c += self.growth_rate
+            return jnp.concatenate([p for p, _ in pieces], axis=-1)
+
         layer_cls = (
             nn.remat(DenseLayer, static_argnums=(2,)) if self.remat else DenseLayer
         )
