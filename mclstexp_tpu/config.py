@@ -47,12 +47,18 @@ class ModelConfig:
     # PROFILE_r02.md), so default off. Numerics equal to bf16 recompute
     # noise; encoders without wired support ignore it (registry.py).
     remat_tower: bool = False
-    # DenseNet dense-connectivity materialization: "concat" (torchvision
-    # verbatim) or "dus" (preallocated channel buffer + in-place
-    # dynamic_update_slice writes — targets the 8.2 ms/step of dense-block
-    # concat copies in the B=128 trace, PROFILE_r02.md). Numerics identical;
-    # only densenet121 consumes it.
-    dense_block_impl: str = "concat"
+    # DenseNet dense-connectivity materialization (numerics identical,
+    # identical param tree; only densenet121 consumes it):
+    #   "piecewise" — never materialize the per-layer prefix concat; each
+    #       layer's BN-relu-conv1 runs piece-by-piece against channel-sliced
+    #       params. Measured 63.1 vs 67.8 ms/step (B=128 flagship, same-chip
+    #       same-session A/B, PROFILE_r03.md) — the shipping default.
+    #   "concat" — torchvision semantics verbatim (a fresh prefix copy per
+    #       layer, 8.2 ms/step of the trace).
+    #   "dus" — preallocated buffer + dynamic_update_slice; measured
+    #       net-NEGATIVE (105.6 ms/step — XLA materializes the full-extent
+    #       buffer per layer, PROFILE_r03.md). Kept as a documented rejection.
+    dense_block_impl: str = "piecewise"
 
 
 @dataclasses.dataclass(frozen=True)

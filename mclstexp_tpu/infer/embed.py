@@ -26,6 +26,25 @@ from mclstexp_tpu.data.section import Section
 from mclstexp_tpu.models.mclstexp import MclSTExp
 
 
+def _eval_model(model: MclSTExp) -> MclSTExp:
+    """Rebind the model to the concat dense-block materialization for the
+    forward-only sweep.
+
+    ``dense_block_impl="piecewise"`` wins the TRAIN step (63.1 vs 67.8
+    ms/step — it trades matmul efficiency for eliminated concat copy
+    traffic, and the train step is HBM-bound) but loses the forward-only
+    eval sweep, where the smaller live set leaves headroom and the MXU
+    penalty dominates: 3,104 vs ~4,810 spots/s measured on the same chip
+    (PROFILE_r03.md). All impls share one param tree (disjoint channel
+    slices), so the same params/batch_stats apply unchanged.
+    """
+    if model.config.dense_block_impl == "concat":
+        return model
+    import dataclasses
+
+    return MclSTExp(dataclasses.replace(model.config, dense_block_impl="concat"))
+
+
 def prepare_eval_arrays(sections: Sequence[Section]):
     """Upload the concatenated eval arrays to HBM once.
 
@@ -85,7 +104,7 @@ def compute_embeddings(
     # part of the same program. The jitted sweep is cached per (model,
     # eval_augment) so repeated dumps (the per-fold eval loop) don't
     # re-trace.
-    sweep = _make_sweep(model, eval_augment, raw_scale)
+    sweep = _make_sweep(_eval_model(model), eval_augment, raw_scale)
     image_bs = image_batch_size or max(batch_size, 256)
     img = sweep(params, batch_stats, (patches_dev,), n, image_bs, "image", rng)
     spot = sweep(params, batch_stats, (expr_dev, pos_dev), n, batch_size, "spot", rng)
@@ -264,7 +283,7 @@ def compute_embeddings_sharded(
         prepared = prepare_eval_arrays(sections)
     n = prepared["n"]
     n_dev = mesh.shape[axis]
-    sweeps = _make_sharded_sweep(model, raw_scale, mesh, axis)
+    sweeps = _make_sharded_sweep(_eval_model(model), raw_scale, mesh, axis)
     image_bs = image_batch_size or max(batch_size, 256)
     img = _run_sharded_tower(
         *sweeps["image"], params, batch_stats, (prepared["patches"],),

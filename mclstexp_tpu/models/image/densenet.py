@@ -187,15 +187,22 @@ class DenseBlock(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     # Dense-connectivity materialization strategy (numerics identical):
+    #   "piecewise" — never materialize the per-layer prefix concat; each
+    #       layer's norm1-relu-conv1 runs piece-by-piece against channel-
+    #       sliced params (DenseLayerP) and only the block OUTPUT
+    #       concatenates once. Measured 63.1 vs 67.8 ms/step on the B=128
+    #       flagship (same-chip same-session A/B, PROFILE_r03.md) — the
+    #       shipping default via ModelConfig.dense_block_impl.
     #   "concat" — re-concatenate the feature prefix each layer (torchvision
     #       semantics verbatim); XLA emits a fresh (B,H,W,C_i+k) copy per
     #       layer, priced at 8.2 ms/step of the B=128 flagship step
     #       (PROFILE_r02.md).
     #   "dus" — preallocate the block's final channel extent once and write
     #       each layer's k new channels in place via dynamic_update_slice;
-    #       layer inputs are prefix slices of the one buffer. XLA performs
-    #       the updates in place when the old buffer value is dead, cutting
-    #       the per-layer prefix copies.
+    #       layer inputs are prefix slices of the one buffer. Measured
+    #       net-NEGATIVE (105.6 ms/step): XLA materializes the buffer at its
+    #       FULL final extent per layer instead of updating in place
+    #       (PROFILE_r03.md) — kept as a documented rejection.
     block_impl: str = "concat"
 
     @nn.compact
@@ -320,3 +327,15 @@ def densenet121(
     dtype=jnp.float32, remat: bool = False, block_impl: str = "concat"
 ) -> DenseNetEncoder:
     return DenseNetEncoder(dtype=dtype, remat=remat, block_impl=block_impl)
+
+
+def tiny_densenet(
+    dtype=jnp.float32, remat: bool = False, block_impl: str = "concat"
+) -> DenseNetEncoder:
+    """Miniature DenseNet (2+2 layers, 16-d features) exercising the exact
+    densenet121 code paths — dense connectivity, transitions, every
+    block_impl — at test scale."""
+    return DenseNetEncoder(
+        block_config=(2, 2), growth_rate=4, bn_size=2, init_features=8,
+        dtype=dtype, remat=remat, block_impl=block_impl,
+    )

@@ -11,7 +11,7 @@ from typing import Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mclstexp_tpu.models.image.densenet import densenet121
+from mclstexp_tpu.models.image.densenet import densenet121, tiny_densenet
 from mclstexp_tpu.models.image.resnet import resnet18, resnet50, resnet101, resnet152
 from mclstexp_tpu.models.image.vit import TinyCNN, clip_vit_b32, vit_b32, vit_l32
 
@@ -26,13 +26,16 @@ ENCODERS = {
     "vit_l": (vit_l32, 1024),
     "clip_vit": (clip_vit_b32, 768),
     "tiny_cnn": (lambda dtype=jnp.float32: TinyCNN(dtype=dtype), 128),
+    "tiny_densenet": (tiny_densenet, 16),  # test tower: densenet code paths
 }
 
 
 # Towers where per-layer rematerialization is wired (saves activation HBM
 # capacity for larger batches/towers; measured slower for step time at the
 # flagship shapes — see models/image/densenet.py:DenseBlock).
-REMAT_CAPABLE = {"densenet121"}
+REMAT_CAPABLE = {"densenet121", "tiny_densenet"}
+# Towers that consume the dense-block materialization knob.
+DENSE_IMPL_CAPABLE = {"densenet121", "tiny_densenet"}
 
 
 def build_encoder(
@@ -44,6 +47,6 @@ def build_encoder(
     kw = {}
     if remat and name in REMAT_CAPABLE:
         kw["remat"] = True
-    if name == "densenet121" and block_impl != "concat":
+    if name in DENSE_IMPL_CAPABLE and block_impl != "concat":
         kw["block_impl"] = block_impl  # DenseBlock materialization strategy
     return factory(dtype=dtype, **kw), dim

@@ -76,6 +76,29 @@ def test_sharded_sweep_does_not_close_over_params(setup):
     assert s1 is s2
 
 
+def test_eval_sweep_rebinds_to_concat_materialization(setup):
+    """Forward-only sweeps run the CONCAT dense-block materialization even
+    when the model trains piecewise: piecewise wins the train step but loses
+    the eval sweep (3,104 vs ~4,810 spots/s on-chip, PROFILE_r03.md). The
+    impls share one param tree, so the rebind is transparent to weights."""
+    import dataclasses
+
+    sections, model, state = setup
+    pw = type(model)(dataclasses.replace(model.config, dense_block_impl="piecewise"))
+    ev = embed._eval_model(pw)
+    assert ev.config.dense_block_impl == "concat"
+    assert embed._eval_model(ev) is ev  # concat models pass through untouched
+
+    img_pw, spot_pw = embed.compute_embeddings(
+        pw, state.params, state.batch_stats, sections, batch_size=8
+    )
+    img_cc, spot_cc = embed.compute_embeddings(
+        ev, state.params, state.batch_stats, sections, batch_size=8
+    )
+    np.testing.assert_array_equal(img_pw, img_cc)
+    np.testing.assert_array_equal(spot_pw, spot_cc)
+
+
 def test_sharded_sweep_small_n(setup):
     """Fewer spots than one global batch round: everything lands in the
     padded first round + remainder path."""
