@@ -143,6 +143,7 @@ def main():
     )
 
     eval_spots_per_sec, retrieval_qps = bench_eval_path(jax, model, state)
+    streaming = bench_streaming_retrieval(jax)
     fold_eval = bench_fold_eval(jax)
     slide_attn = bench_slide_attention(jax)
 
@@ -162,11 +163,52 @@ def main():
                 "ref_baseline_provenance": ref_provenance,
                 "eval_spots_per_sec": round(eval_spots_per_sec, 2),
                 "retrieval_queries_per_sec": round(retrieval_qps, 2),
+                **streaming,
                 **fold_eval,
                 **slide_attn,
             }
         )
     )
+
+
+def bench_streaming_retrieval(jax, n_query=3456, n_keys=200_000, p=256,
+                              g=SPOT_DIM, top_k=200):
+    """Production-scale retrieval: Nq x Nk past STREAMING_SCORE_ELEMENTS, so
+    `retrieve_and_aggregate` auto-switches to the memory-bounded
+    `streaming_topk` scan (VERDICT r2 #5 — the "millions of reference spots
+    resident in HBM" serving path). 200k keys ~= 15x the full HER2ST key set;
+    the dense (Nq, Nk) score matrix would be 2.8 GB fp32 per query set."""
+    import jax.numpy as jnp
+
+    from mclstexp_tpu.ops.retrieval import (
+        STREAMING_SCORE_ELEMENTS, retrieve_and_aggregate,
+    )
+
+    assert n_query * n_keys > STREAMING_SCORE_ELEMENTS  # auto-path engages
+    kk, kg, kq = jax.random.split(jax.random.PRNGKey(3), 3)
+    key_emb = jax.random.normal(kk, (n_keys, p), jnp.float32)
+    key_expr = jax.random.normal(kg, (n_keys, g), jnp.float32)
+    query = jax.random.normal(kq, (n_query, p), jnp.float32)
+    jax.block_until_ready((key_emb, key_expr, query))
+
+    t0 = time.perf_counter()
+    retrieve_and_aggregate(key_emb, key_expr, query, top_k=top_k, weight_ord=1)
+    print(f"streaming retrieval compile+run: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    # retrieve_and_aggregate returns host ndarrays — a true value readback.
+    retrieve_and_aggregate(key_emb, key_expr, query, top_k=top_k, weight_ord=1)
+    dt = time.perf_counter() - t0
+    qps = n_query / dt
+    print(
+        f"streaming retrieval: {n_query} queries x {n_keys} keys (K={top_k}) "
+        f"in {dt:.3f}s ({qps:.0f} queries/s)",
+        file=sys.stderr,
+    )
+    return {
+        "streaming_retrieval_queries_per_sec": round(qps, 2),
+        "streaming_retrieval_n_keys": n_keys,
+    }
 
 
 def bench_fold_eval(jax, n_sections=32, spots=420, p=256, g=SPOT_DIM, top_k=200,
