@@ -71,8 +71,8 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 
-    dense_impl = os.environ.get("MCLSTEXP_BENCH_DENSE_IMPL", "piecewise")
-    if dense_impl != "piecewise":
+    dense_impl = os.environ.get("MCLSTEXP_BENCH_DENSE_IMPL", "piecewise8")
+    if dense_impl != "piecewise8":
         print(f"dense_block_impl={dense_impl}", file=sys.stderr)
     # The flagship her2st protocol: its preset keeps only the reachable
     # 1024-row prefix of the positional tables (config.py PRESETS note —

@@ -48,17 +48,20 @@ class ModelConfig:
     # noise; encoders without wired support ignore it (registry.py).
     remat_tower: bool = False
     # DenseNet dense-connectivity materialization (numerics identical,
-    # identical param tree; only densenet121 consumes it):
-    #   "piecewise" — never materialize the per-layer prefix concat; each
+    # identical param tree; only densenet towers consume it):
+    #   "piecewise<m>" — never materialize the per-layer prefix concat; each
     #       layer's BN-relu-conv1 runs piece-by-piece against channel-sliced
-    #       params. Measured 63.1 vs 67.8 ms/step (B=128 flagship, same-chip
-    #       same-session A/B, PROFILE_r03.md) — the shipping default.
+    #       params, and every m new feature pieces bundle into one contiguous
+    #       buffer (written once) to keep the conv1 contraction deep on the
+    #       MXU. Same-chip A/B sweep (B=128 flagship, ms/step,
+    #       PROFILE_r03.md): piecewise 63.1, piecewise4 64.8, piecewise8
+    #       60.2 (shipping default), piecewise12 60.8, piecewise16 61.4.
     #   "concat" — torchvision semantics verbatim (a fresh prefix copy per
-    #       layer, 8.2 ms/step of the trace).
+    #       layer, 8.2 ms/step of the trace; 67.8 ms/step).
     #   "dus" — preallocated buffer + dynamic_update_slice; measured
     #       net-NEGATIVE (105.6 ms/step — XLA materializes the full-extent
     #       buffer per layer, PROFILE_r03.md). Kept as a documented rejection.
-    dense_block_impl: str = "piecewise"
+    dense_block_impl: str = "piecewise8"
 
 
 @dataclasses.dataclass(frozen=True)

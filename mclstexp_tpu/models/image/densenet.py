@@ -187,12 +187,17 @@ class DenseBlock(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     # Dense-connectivity materialization strategy (numerics identical):
-    #   "piecewise" — never materialize the per-layer prefix concat; each
-    #       layer's norm1-relu-conv1 runs piece-by-piece against channel-
-    #       sliced params (DenseLayerP) and only the block OUTPUT
-    #       concatenates once. Measured 63.1 vs 67.8 ms/step on the B=128
-    #       flagship (same-chip same-session A/B, PROFILE_r03.md) — the
-    #       shipping default via ModelConfig.dense_block_impl.
+    #   "piecewise[<m>]" — never materialize the per-layer prefix concat;
+    #       each layer's norm1-relu-conv1 runs piece-by-piece against
+    #       channel-sliced params (DenseLayerP) and only the block OUTPUT
+    #       concatenates once. With a bundle size m, every m new pieces
+    #       merge into one contiguous buffer (each written ONCE, unlike the
+    #       concat impl's per-layer prefix copy) so the conv1 contraction
+    #       depth stays MXU-friendly (m*32 vs 32). Same-chip A/B on the
+    #       B=128 flagship (ms/step, PROFILE_r03.md): concat 67.8,
+    #       piecewise 63.1, piecewise4 64.8, **piecewise8 60.2 (the
+    #       shipping default** via ModelConfig.dense_block_impl),
+    #       piecewise12 60.8, piecewise16 61.4.
     #   "concat" — re-concatenate the feature prefix each layer (torchvision
     #       semantics verbatim); XLA emits a fresh (B,H,W,C_i+k) copy per
     #       layer, priced at 8.2 ms/step of the B=128 flagship step
@@ -213,12 +218,23 @@ class DenseBlock(nn.Module):
         # for step time on v5e at B=128 (82.5 vs 77.8 ms — recomputed
         # activations still round-trip HBM; PROFILE_r02.md); useful only
         # when HBM capacity, not time, is the limit (larger B or towers).
-        if self.block_impl == "piecewise":
+        if self.block_impl.startswith("piecewise"):
             # Never materialize the per-layer prefix concat: each layer's
             # BN-relu-conv1 contraction runs piece-by-piece against sliced
             # params (see DenseLayerP); only the block OUTPUT concatenates,
             # once, for the transition. Param tree identical to "concat".
+            #
+            # "piecewise<m>" (e.g. "piecewise4") additionally BUNDLES every
+            # m new feature pieces into one contiguous buffer as they are
+            # produced: each bundle writes its m*k channels to HBM exactly
+            # once (unlike the concat impl's per-layer full-prefix copy)
+            # and raises the conv1 contraction depth from k=32 to m*32,
+            # recovering MXU lane utilization the pure piecewise form gives
+            # up. Pieces stay contiguous channel ranges, so the sliced
+            # params/stats and per-channel BN statistics are unchanged.
+            bundle = int(self.block_impl[len("piecewise"):] or 1)
             pieces = [(x.astype(self.dtype), 0)]
+            tail = 0  # trailing growth-rate-wide pieces not yet bundled
             c = x.shape[-1]
             for i in range(self.num_layers):
                 new = DenseLayerP(
@@ -227,6 +243,13 @@ class DenseBlock(nn.Module):
                 )(pieces, train)
                 pieces.append((new.astype(self.dtype), c))
                 c += self.growth_rate
+                tail += 1
+                if bundle > 1 and tail == bundle:
+                    merged = jnp.concatenate(
+                        [p for p, _ in pieces[-bundle:]], axis=-1
+                    )
+                    pieces = pieces[:-bundle] + [(merged, pieces[-bundle][1])]
+                    tail = 0
             return jnp.concatenate([p for p, _ in pieces], axis=-1)
 
         layer_cls = (

@@ -352,7 +352,7 @@ def test_densenet_block_impls_match_concat(rng):
     x = rng.uniform(size=(2, 32, 32, 3)).astype(np.float32)
 
     outs, inits = {}, {}
-    for impl in ("concat", "dus", "piecewise"):
+    for impl in ("concat", "dus", "piecewise", "piecewise8"):
         model = densenet121(block_impl=impl)
         variables = {"params": params, "batch_stats": batch_stats}
         outs[impl] = np.asarray(model.apply(variables, x, train=False))
@@ -360,13 +360,15 @@ def test_densenet_block_impls_match_concat(rng):
 
     np.testing.assert_array_equal(outs["dus"], outs["concat"])
     # piecewise re-associates the conv1 channel reduction -> fp noise only
-    np.testing.assert_allclose(
-        outs["piecewise"], outs["concat"], rtol=2e-5, atol=2e-6
-    )
+    # (piecewise8 = the shipping bundled form: every 8 new pieces merge)
+    for impl in ("piecewise", "piecewise8"):
+        np.testing.assert_allclose(
+            outs[impl], outs["concat"], rtol=2e-5, atol=2e-6, err_msg=impl
+        )
 
     # both alternates: identical tree (paths+shapes) AND identical init draws
     flat_c = jax.tree_util.tree_flatten_with_path(inits["concat"])[0]
-    for impl in ("dus", "piecewise"):
+    for impl in ("dus", "piecewise", "piecewise8"):
         flat_i = jax.tree_util.tree_flatten_with_path(inits[impl])[0]
         assert [k for k, _ in flat_c] == [k for k, _ in flat_i], impl
         for (path, a), (_, b) in zip(flat_c, flat_i):
@@ -391,7 +393,9 @@ def test_densenet_piecewise_train_semantics():
     x = jnp.asarray(rng.normal(size=(2, 4, 4, 8)).astype(np.float32))
 
     results = {}
-    for impl in ("concat", "dus", "piecewise"):
+    # piecewise2 exercises bundle merging at this 3-layer depth (the
+    # shipping piecewise8 never merges under 8 layers)
+    for impl in ("concat", "dus", "piecewise", "piecewise2"):
         model = DenseBlock(
             num_layers=3, growth_rate=4, bn_size=2, block_impl=impl
         )
@@ -412,7 +416,7 @@ def test_densenet_piecewise_train_semantics():
         )
 
     ref = results["concat"]
-    for impl in ("dus", "piecewise"):
+    for impl in ("dus", "piecewise", "piecewise2"):
         r = results[impl]
         np.testing.assert_allclose(r["loss"], ref["loss"], rtol=1e-6)
         np.testing.assert_allclose(r["out"], ref["out"], rtol=1e-5, atol=1e-6)
