@@ -26,19 +26,25 @@ from mclstexp_tpu.data.section import Section
 from mclstexp_tpu.models.mclstexp import MclSTExp
 
 
+# Dense-block impls measured FAST on the forward-only sweep (same chip,
+# PROFILE_r03.md): concat 4,784-4,824 spots/s, piecewise8 4,816-4,930.
+# Pure "piecewise" measured 3,104 (shallow K=32 contractions; without a
+# backward pass the sweep is not HBM-pinned, so the MXU penalty shows) and
+# "dus" is slow in every measurement — anything not on this list rebinds.
+_EVAL_FAST_IMPLS = ("concat", "piecewise8")
+
+
 def _eval_model(model: MclSTExp) -> MclSTExp:
-    """Rebind the model to the concat dense-block materialization for the
+    """Rebind slow-forward dense-block materializations to concat for the
     forward-only sweep.
 
-    ``dense_block_impl="piecewise"`` wins the TRAIN step (63.1 vs 67.8
-    ms/step — it trades matmul efficiency for eliminated concat copy
-    traffic, and the train step is HBM-bound) but loses the forward-only
-    eval sweep, where the smaller live set leaves headroom and the MXU
-    penalty dominates: 3,104 vs ~4,810 spots/s measured on the same chip
-    (PROFILE_r03.md). All impls share one param tree (disjoint channel
-    slices), so the same params/batch_stats apply unchanged.
+    The shipping "piecewise8" passes through (measured at-or-above concat
+    forward speed, and reusing the training model avoids compiling a second
+    image-tower program per eval process). All impls share one param tree
+    (disjoint channel slices), so the same params/batch_stats apply
+    unchanged when a rebind does happen.
     """
-    if model.config.dense_block_impl == "concat":
+    if model.config.dense_block_impl in _EVAL_FAST_IMPLS:
         return model
     import dataclasses
 

@@ -88,6 +88,9 @@ def test_eval_sweep_rebinds_to_concat_materialization(setup):
     ev = embed._eval_model(pw)
     assert ev.config.dense_block_impl == "concat"
     assert embed._eval_model(ev) is ev  # concat models pass through untouched
+    # the shipping bundled impl is measured fast forward -> passes through
+    pw8 = type(model)(dataclasses.replace(model.config, dense_block_impl="piecewise8"))
+    assert embed._eval_model(pw8) is pw8
 
     img_pw, spot_pw = embed.compute_embeddings(
         pw, state.params, state.batch_stats, sections, batch_size=8
