@@ -46,9 +46,14 @@ class ModelConfig:
     # net-NEGATIVE for step time on v5e at B=128 (82.5 vs 77.8 ms,
     # PROFILE_r02.md), so default off. Numerics equal to bf16 recompute
     # noise; encoders without wired support ignore it (registry.py).
+    # remat_tower=True makes densenet use the CONCAT materialization
+    # regardless of dense_block_impl (the concat buffer is exactly what
+    # remat checkpoints; densenet.py:DenseBlock).
     remat_tower: bool = False
-    # DenseNet dense-connectivity materialization (numerics identical,
-    # identical param tree; only densenet towers consume it):
+    # DenseNet dense-connectivity materialization (numerically equivalent —
+    # piecewise re-associates the conv1 channel reduction, fp-noise-level
+    # deltas vs concat, rtol ~2e-5 — with an IDENTICAL param tree; only
+    # densenet towers consume it):
     #   "piecewise<m>" — never materialize the per-layer prefix concat; each
     #       layer's BN-relu-conv1 runs piece-by-piece against channel-sliced
     #       params, and every m new feature pieces bundle into one contiguous
@@ -145,6 +150,7 @@ ENCODER_DIMS = {
     "vit_l": 1024,  # vit_large_patch32_224_in21k
     "clip_vit": 768,  # vit_base_patch32_224_clip_laion2b (pre-norm trunk)
     "tiny_cnn": 128,  # test-sized tower (ours; no reference equivalent)
+    "tiny_densenet": 16,  # test-sized densenet code paths (ours)
 }
 
 

@@ -218,7 +218,14 @@ class DenseBlock(nn.Module):
         # for step time on v5e at B=128 (82.5 vs 77.8 ms — recomputed
         # activations still round-trip HBM; PROFILE_r02.md); useful only
         # when HBM capacity, not time, is the limit (larger B or towers).
-        if self.block_impl.startswith("piecewise"):
+        if self.block_impl.startswith("piecewise") and not self.remat:
+            # remat=True falls through to the remat-wired concat path below:
+            # rematerialization exists for HBM *capacity* (its whole point is
+            # saving only the concat buffer and recomputing the per-layer
+            # intermediates), so the concat materialization is what gets
+            # checkpointed; a rematerialized piecewise form would need the
+            # piece offsets lifted to static module state and saves nothing
+            # the concat buffer doesn't.
             # Never materialize the per-layer prefix concat: each layer's
             # BN-relu-conv1 contraction runs piece-by-piece against sliced
             # params (see DenseLayerP); only the block OUTPUT concatenates,

@@ -77,19 +77,34 @@ def test_sharded_sweep_does_not_close_over_params(setup):
 
 
 def test_eval_sweep_rebinds_to_concat_materialization(setup):
-    """Forward-only sweeps run the CONCAT dense-block materialization even
-    when the model trains piecewise: piecewise wins the train step but loses
-    the eval sweep (3,104 vs ~4,810 spots/s on-chip, PROFILE_r03.md). The
-    impls share one param tree, so the rebind is transparent to weights."""
+    """Forward-only sweeps rebind measured-slow dense-block impls to CONCAT
+    (pure piecewise: 3,104 vs ~4,810 spots/s on-chip, PROFILE_r03.md) while
+    the shipping piecewise8 passes through. The impls share one param tree,
+    so the rebind is transparent to weights — asserted on a REAL densenet
+    tower (tiny_densenet), where dense_block_impl actually reaches a
+    DenseBlock and the rebound program consumes piecewise-built params."""
     import dataclasses
 
-    sections, model, state = setup
-    pw = type(model)(dataclasses.replace(model.config, dense_block_impl="piecewise"))
+    from mclstexp_tpu.config import ModelConfig, TrainConfig
+    from mclstexp_tpu.train.state import create_train_state
+
+    sections, *_ = setup
+    cfg = ModelConfig(
+        encoder_name="tiny_densenet", image_dim=16, spot_dim=24,
+        projection_dim=16, heads_num=2, heads_dim=8, head_layers=1,
+        dense_block_impl="piecewise",
+    )
+    sample = {
+        "image": np.zeros((1, 16, 16, 3), np.float32),
+        "expression": sections[0].expression[:1],
+        "position": sections[0].positions[:1].astype(np.int32),
+    }
+    pw, state = create_train_state(cfg, TrainConfig(batch_size=8), sample)
     ev = embed._eval_model(pw)
     assert ev.config.dense_block_impl == "concat"
     assert embed._eval_model(ev) is ev  # concat models pass through untouched
     # the shipping bundled impl is measured fast forward -> passes through
-    pw8 = type(model)(dataclasses.replace(model.config, dense_block_impl="piecewise8"))
+    pw8 = type(pw)(dataclasses.replace(cfg, dense_block_impl="piecewise8"))
     assert embed._eval_model(pw8) is pw8
 
     img_pw, spot_pw = embed.compute_embeddings(
@@ -100,6 +115,16 @@ def test_eval_sweep_rebinds_to_concat_materialization(setup):
     )
     np.testing.assert_array_equal(img_pw, img_cc)
     np.testing.assert_array_equal(spot_pw, spot_cc)
+    # and the rebind changed the program, not just the label: the piecewise
+    # program on the same params differs by fp-reassociation noise
+    sweep = embed._make_sweep(pw, False, False)
+    img_raw = np.asarray(sweep(
+        state.params, state.batch_stats,
+        (embed.prepare_eval_arrays(sections)["patches"],),
+        sum(s.num_spots for s in sections), 8, "image",
+        __import__("jax").random.PRNGKey(0),
+    ))
+    np.testing.assert_allclose(img_raw, img_cc, rtol=2e-4, atol=2e-5)
 
 
 def test_sharded_sweep_small_n(setup):

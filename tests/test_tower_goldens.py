@@ -378,6 +378,29 @@ def test_densenet_block_impls_match_concat(rng):
             )
 
 
+def test_densenet_remat_overrides_piecewise():
+    """remat=True checkpoints the CONCAT materialization regardless of
+    block_impl — the concat buffer is exactly what remat saves, so a
+    rematerialized piecewise form would save nothing (densenet.py). The
+    remat+piecewise combination must therefore be bit-identical to the
+    remat+concat program, not merely fp-close."""
+    import jax
+    import jax.numpy as jnp
+
+    from mclstexp_tpu.models.image.densenet import DenseBlock
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 8)).astype(np.float32))
+    outs = {}
+    for impl in ("concat", "piecewise8"):
+        model = DenseBlock(
+            num_layers=3, growth_rate=4, bn_size=2, block_impl=impl, remat=True
+        )
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        outs[impl] = np.asarray(model.apply(variables, x, train=False))
+    np.testing.assert_array_equal(outs["piecewise8"], outs["concat"])
+
+
 def test_densenet_piecewise_train_semantics():
     """Train-mode equivalence of the block impls where it is numerically
     meaningful: a single shallow DenseBlock. Forward, loss, conv grads, and

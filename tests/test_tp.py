@@ -110,8 +110,11 @@ def test_tp_sharded_step_matches_replicated():
 
 
 def test_tp_sharded_step_matches_replicated_piecewise_dense():
-    """The shipping piecewise dense-block materialization composes with the
-    (data, model) mesh exactly like concat — same loss, same Adam update.
+    """The shipping bundled-piecewise dense-block materialization composes
+    with the (data, model) mesh exactly like concat — same loss, same Adam
+    update. "piecewise2" so the bundle MERGE (the trailing-pieces concat)
+    actually fires at tiny_densenet's 2-layer block depth — the shipping
+    piecewise8 only merges at >=8-layer blocks.
 
     The full-scale multichip dryrun pins its train step to concat because
     piecewise's ~9x more HLO segments compile 3.1x slower under the CPU
@@ -121,7 +124,7 @@ def test_tp_sharded_step_matches_replicated_piecewise_dense():
     cfg = ModelConfig(
         encoder_name="tiny_densenet", image_dim=16, spot_dim=16,
         projection_dim=8, heads_num=2, heads_dim=4, head_layers=1,
-        pos_vocab=64, dense_block_impl="piecewise",
+        pos_vocab=64, dense_block_impl="piecewise2",
     )
     rng = np.random.default_rng(3)
     batch = _batch(rng, n=8)

@@ -26,7 +26,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--batch", type=int, default=128)
-    ap.add_argument("--impl", type=str, default="piecewise")
+    ap.add_argument("--impl", type=str, default="piecewise8")  # shipping default
     ap.add_argument("--pos-vocab", type=int, default=1024)
     ap.add_argument("--trace-dir", type=str, default="/tmp/xprof_step_trace")
     ap.add_argument("--out", type=str, default="")
