@@ -59,12 +59,16 @@ class SpotViT(nn.Module):
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
     backend: str = "xla"  # "flash" streams whole-slide sequences on TPU
+    emb_dropout: Optional[float] = None  # None -> same as dropout (reference
+    # ViT default); Hist2ST applies its emb dropout EARLIER (HIST2ST.py:72-73,
+    # before the convmixer trunk), so it passes 0.0 here
 
     @nn.compact
     def __call__(
         self, x: jax.Array, deterministic: bool = True, mask=None
     ) -> jax.Array:
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        emb_drop = self.dropout if self.emb_dropout is None else self.emb_dropout
+        x = nn.Dropout(emb_drop)(x, deterministic=deterministic)
         for i in range(self.depth):
             x = AttnBlock(
                 self.dim, self.heads, 64, self.mlp_dim, self.dropout, self.dtype,
@@ -120,6 +124,7 @@ class Hist2ST(nn.Module):
     dropout: float = 0.2
     zinb: bool = True  # emit ZINB heads
     nb: bool = False  # NB parameterization instead of ZINB
+    coef_head: bool = False  # bake-distillation weighting head (HIST2ST.py:125-129)
     dtype: Dtype = jnp.float32
     attn_backend: str = "xla"
 
@@ -135,6 +140,8 @@ class Hist2ST(nn.Module):
         adj: jax.Array,  # (N, N) dense 0/1
         train: bool = False,
         mask: Optional[jax.Array] = None,
+        aug: bool = False,  # bake pass: third output becomes coef(h), not h
+        # (reference HIST2ST.py:138-141); init with aug=True to create the head
     ) -> Tuple[jax.Array, Optional[tuple], jax.Array]:
         n = patches.shape[0]
         dim = self.dim
@@ -143,17 +150,25 @@ class Hist2ST(nn.Module):
             strides=(self.patch_size, self.patch_size), padding="VALID",
             dtype=self.dtype, name="patch_embedding",
         )(patches.astype(self.dtype))
+        # Reference ViT.forward applies its emb dropout to the conv feature
+        # map BEFORE the mixer trunk (HIST2ST.py:72-73,55-56), not to the
+        # spot tokens; match that placement.
+        x = nn.Dropout(self.dropout)(x, deterministic=not train)
         for i in range(self.depth1):
             x = ConvMixerBlock(
                 self.channel, self.kernel_size, self.dtype, name=f"mixer{i}"
             )(x, train)
         x = nn.Conv(self.channel // 8, (1, 1), dtype=self.dtype, name="down")(x)
-        g = x.reshape(n, dim)  # per-spot token
+        # Flatten in (c, h, w) order — the reference's nn.Flatten on an NCHW
+        # tensor (HIST2ST.py:50-53) — so the token feature basis (and thus
+        # every downstream weight: pos tables, attention, GraphSAGE, LSTM,
+        # heads) matches torch checkpoints element-for-element.
+        g = x.transpose(0, 3, 1, 2).reshape(n, dim)  # per-spot token
 
         ct = PositionTables(self.n_pos, dim, name="pos")(positions)
         g = SpotViT(
             dim, self.depth2, self.heads, dim, self.dropout, self.dtype,
-            self.attn_backend, name="vit",
+            self.attn_backend, name="vit", emb_dropout=0.0,
         )((g + ct)[None], deterministic=not train, mask=mask)[0]
 
         # GraphSAGE stack with LSTM jump-knowledge over the depth outputs
@@ -162,10 +177,13 @@ class Hist2ST(nn.Module):
             g = GraphSAGEBlock(dim, gcn=True, dtype=self.dtype, name=f"gs{i}")(g, adj)
             jk.append(g)
         stacked = jnp.stack(jk, axis=0)  # (depth3, N, dim) — LSTM over depth
-        lstm = nn.RNN(nn.OptimizedLSTMCell(dim), name="jknet")
+        # cells named explicitly: a cell passed into nn.RNN registers as a
+        # child of THIS module, so without names the params would land at
+        # fragile auto-paths (OptimizedLSTMCell_0/1)
+        lstm = nn.RNN(nn.OptimizedLSTMCell(dim, name="jknet_cell"), name="jknet")
         h = lstm(stacked.transpose(1, 0, 2)).transpose(1, 0, 2)
         # second LSTM layer (reference nn.LSTM(dim, dim, 2))
-        lstm2 = nn.RNN(nn.OptimizedLSTMCell(dim), name="jknet2")
+        lstm2 = nn.RNN(nn.OptimizedLSTMCell(dim, name="jknet2_cell"), name="jknet2")
         h = lstm2(h.transpose(1, 0, 2)).transpose(1, 0, 2)
         h = jnp.mean(h, axis=0)  # (N, dim)
 
@@ -185,6 +203,13 @@ class Hist2ST(nn.Module):
                 d = disp_act(DenseT(self.n_genes, dtype=self.dtype, name="disp")(h).astype(jnp.float32))
                 pi = jax.nn.sigmoid(DenseT(self.n_genes, dtype=self.dtype, name="pi")(h).astype(jnp.float32))
                 extra = (m, d, pi)
+        if self.coef_head and aug:
+            # distillation weighting head: Linear -> ReLU -> Linear(1)
+            # (reference HIST2ST.py:125-129,138-141 replaces h by coef(h)
+            # on augmented "bake" passes; softmax over bakes in the trainer)
+            c = DenseT(self.dim, dtype=self.dtype, name="coef_fc1")(h)
+            c = DenseT(1, dtype=self.dtype, name="coef_fc2")(nn.relu(c))
+            return pred, extra, c.astype(jnp.float32)
         return pred, extra, h
 
 

@@ -103,7 +103,8 @@ def build_baseline(cfg: BaselineConfig):
     if cfg.model == "hist2st":
         return Hist2ST(
             n_genes=cfg.n_genes, fig_size=cfg.patch_size, n_pos=cfg.n_pos,
-            dropout=cfg.dropout, zinb=cfg.zinb_coef > 0, nb=cfg.nb, dtype=dtype,
+            dropout=cfg.dropout, zinb=cfg.zinb_coef > 0, nb=cfg.nb,
+            coef_head=resolve_bake(cfg) > 0, dtype=dtype,
         )
     if cfg.model == "thitogene":
         return THItoGene(
@@ -186,16 +187,18 @@ def _slide_loss(
     patches = batch["patches"].astype(jnp.float32) / 255.0
     mask = batch["mask"]
 
-    def apply_model(pats, train):
+    def apply_model(pats, train, aug=False, rng_=None):
         variables = {"params": params, "batch_stats": batch_stats}
         kwargs = dict(train=train, mask=mask)
+        if aug:
+            kwargs["aug"] = True
         args = (pats, batch["positions"])
         if uses_adj:
             args = args + (batch["adj"],)
         return model.apply(
             variables, *args, **kwargs,
             mutable=["batch_stats"] if train else [],
-            rngs={"dropout": drop_rng},
+            rngs={"dropout": drop_rng if rng_ is None else rng_},
         )
 
     out, updates = apply_model(patches, True)
@@ -215,11 +218,22 @@ def _slide_loss(
         loss = loss + cfg.zinb_coef * ll
     if cfg.model == "hist2st" and n_bake > 0:
         baked = _bake_augment(bake_rng, patches, n_bake)
-        preds = []
+        use_coef = getattr(model, "coef_head", False)
+        preds, coefs = [], []
         for i in range(n_bake):
-            (bp, _, _), _ = apply_model(baked[i], True)
+            # fresh dropout stream per bake, like torch's per-forward draws
+            (bp, _, bc), _ = apply_model(
+                baked[i], True, aug=use_coef, rng_=jax.random.fold_in(drop_rng, i + 1)
+            )
             preds.append(bp)
-        new_pred = jnp.mean(jnp.stack(preds), axis=0)
+            coefs.append(bc)
+        if use_coef:
+            # learned distillation weights: softmax of coef(h) ACROSS bakes,
+            # per spot (reference HIST2ST.py:133-141)
+            w = jax.nn.softmax(jnp.stack(coefs), axis=0)  # (bake, N, 1)
+            new_pred = jnp.sum(jnp.stack(preds) * w, axis=0)
+        else:
+            new_pred = jnp.mean(jnp.stack(preds), axis=0)
         loss = loss + cfg.lamb * masked_mse(new_pred, pred, mask)
     return loss, new_bs
 
@@ -315,7 +329,9 @@ def init_baseline(
                 {"params": rng, "dropout": rng},
                 {"image": patches[:2], "expression": batch["expression"][:2]},
             )
-        return model.init({"params": rng, "dropout": rng}, *args)
+        # aug=True creates the bake-distillation coef head's params
+        kw = {"aug": True} if getattr(model, "coef_head", False) else {}
+        return model.init({"params": rng, "dropout": rng}, *args, **kw)
 
     # unjitted flax init on a remote TPU transport is pathological —
     # init on the host CPU and transfer once (see train/state.py)

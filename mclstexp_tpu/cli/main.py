@@ -511,7 +511,25 @@ def cmd_baseline(args) -> int:
 
         mesh = make_mesh((len(jax.devices()),), ("data",))
 
-    if args.load_checkpoint:
+    if args.torch_checkpoint:
+        # score a reference-trained torch/Lightning checkpoint without
+        # retraining (interop symmetry with the flagship's eval
+        # --torch-checkpoint); dims must match the reference constructors —
+        # the importer raises on any unconsumed/missing tensor
+        from mclstexp_tpu.baselines.torch_import import (
+            load_baseline_torch_checkpoint,
+        )
+
+        train_secs, _ = split_fold(sections, args.fold)
+        steps = len(train_secs) if args.baseline != "bleep" else 1
+        model, state0 = init_baseline(bcfg, train_secs[0], steps_per_epoch=steps)
+        params, batch_stats = load_baseline_torch_checkpoint(
+            args.torch_checkpoint, args.baseline, model
+        )
+        state = state0.replace(
+            params=params, batch_stats=batch_stats or state0.batch_stats
+        )
+    elif args.load_checkpoint:
         train_secs, _ = split_fold(sections, args.fold)
         steps = len(train_secs) if args.baseline != "bleep" else 1
         model, state0 = init_baseline(bcfg, train_secs[0], steps_per_epoch=steps)
@@ -527,7 +545,7 @@ def cmd_baseline(args) -> int:
             bcfg, sections, args.fold, logger=logger, mesh=mesh
         )
 
-    if not args.load_checkpoint and not args.no_save:
+    if not args.load_checkpoint and not args.torch_checkpoint and not args.no_save:
         out_dir = os.path.join(
             cfg.train.checkpoint_dir, "baselines", args.baseline,
             f"best_{args.fold}",
@@ -671,6 +689,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="skip the end-of-training checkpoint")
     p.add_argument("--load-checkpoint", type=str, default="",
                    help="restore this baseline checkpoint instead of training")
+    p.add_argument("--torch-checkpoint", type=str, default="",
+                   help="score a reference-trained torch/Lightning baseline "
+                        "checkpoint (.pt state_dict or Lightning .ckpt) "
+                        "without retraining (baselines/torch_import.py)")
     p.add_argument("--super-resolution", type=str, default="",
                    help="also predict the held-out section on the dense 56-px "
                         "grid (HisToGene SR mode) and write (predictions, "

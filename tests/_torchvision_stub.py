@@ -167,8 +167,18 @@ def install() -> None:
         tvm.DenseNet121_Weights = _Weights
         tvm.ResNet18_Weights = _Weights
         tv.models = tvm
+        # transforms: constructor-only stand-ins — Hist2ST builds its bake
+        # augmentation pipeline at __init__ (HIST2ST.py:130-134); the A/B
+        # tests never *call* it (the forward paths under test don't augment).
+        tvt = types.ModuleType("torchvision.transforms")
+        for _name in (
+            "Compose", "RandomGrayscale", "RandomRotation", "RandomHorizontalFlip"
+        ):
+            setattr(tvt, _name, type(_name, (), {"__init__": lambda self, *a, **k: None}))
+        tv.transforms = tvt
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.models"] = tvm
+        sys.modules["torchvision.transforms"] = tvt
     if "timm" not in sys.modules and importlib.util.find_spec("timm") is None:
         fake = types.ModuleType("timm")
 

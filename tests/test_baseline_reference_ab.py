@@ -1,0 +1,476 @@
+"""Whole-model A/B parity for the BASELINE families vs the reference's own
+torch implementations.
+
+Mirror of ``test_reference_ab.py`` (the flagship's composition-level A/B) for
+the four comparison baselines: each reference model file is imported verbatim
+from ``/root/reference/baselines/`` (missing third-party deps satisfied by
+naming-exact stubs; nothing in the forward paths under test is stubbed),
+weights are shared through ``baselines/torch_import.py``, and forward outputs
+are asserted equal on a fixed slide:
+
+  * HisToGene (``HisToGene/vis_model.py:144-176``): eval forward equality,
+    plus a gradient / one-Adam-step / 5-step loss-trajectory match of the
+    training step (Adam lr 1e-4, MSE — ``vis_model.py:169-176,190-192``).
+  * Hist2ST (``His2ST/HIST2ST.py:85-141``): eval + train-BN forward equality
+    of all three outputs (pred, ZINB extras, h), and the bake-pass ``coef``
+    head (``aug=True``).
+  * THItoGene (``THItoGene/vis_model.py:153-207``): eval + train-BN forward
+    equality through ODConv -> CapsNet -> ViT -> GAT -> head.
+  * BLEEP (``Bleep/models.py:9-43``): CLIP loss equality (the full soft-
+    target composition) with a shared res18 tower standing in for timm's
+    resnet50 on BOTH sides (timm is absent here; the tower import itself is
+    golden-tested in test_tower_goldens.py).
+
+Per-component goldens already cover each block; what these tests add is the
+composition — feature-flatten orderings, residual wiring, head placement,
+BN-mode boundaries — exactly where translations silently diverge.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import importlib.util
+import os
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from mclstexp_tpu.baselines import torch_import as bti
+from mclstexp_tpu.baselines.models import BLEEP, Hist2ST, HisToGene, THItoGene
+
+REF = "/root/reference/baselines"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not mounted"
+)
+
+
+def _module_stub(name: str, **attrs) -> types.ModuleType:
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    return mod
+
+
+def _install_global_stubs():
+    """Register naming-exact stand-ins for third-party packages the reference
+    baseline files import at module scope but the forward paths under test
+    never execute (Lightning's trainer hooks, scanpy plotting, metrics)."""
+    import _torchvision_stub
+
+    _torchvision_stub.install()
+
+    if "pytorch_lightning" not in sys.modules:
+        class LightningModule(torch.nn.Module):
+            def save_hyperparameters(self, *a, **k):
+                pass
+
+            def log(self, *a, **k):
+                pass
+
+        sys.modules["pytorch_lightning"] = _module_stub(
+            "pytorch_lightning",
+            LightningModule=LightningModule,
+            seed_everything=lambda *a, **k: None,
+        )
+    if "torchmetrics" not in sys.modules and importlib.util.find_spec(
+        "torchmetrics"
+    ) is None:
+        func = _module_stub("torchmetrics.functional", accuracy=lambda *a, **k: None)
+        sys.modules["torchmetrics"] = _module_stub("torchmetrics", functional=func)
+        sys.modules["torchmetrics.functional"] = func
+    for name, attrs in (
+        ("scanpy", {}),
+        ("easydl", {}),
+        ("anndata", {"AnnData": type("AnnData", (), {})}),
+    ):
+        if name not in sys.modules and importlib.util.find_spec(name) is None:
+            sys.modules[name] = _module_stub(name, **attrs)
+
+
+# sibling-module names the flat-layout baseline dirs register in sys.modules
+# (several collide across families; all are scrubbed on context exit)
+_FLAT_NAMES = (
+    "transformer", "gcn", "NB_module", "utils", "config", "modules",
+    "GATLayer", "ODConv", "efficient_capsnet",
+)
+
+
+@contextlib.contextmanager
+def _family(dirname: str, entry_file: str, unique_name: str, stub_utils=False):
+    """Import one baseline family's entry module from its flat directory,
+    isolating the sibling-module namespace (each family ships its own
+    ``transformer.py``/``config.py``/...)."""
+    _install_global_stubs()
+    d = os.path.join(REF, dirname)
+    saved = {n: sys.modules.pop(n) for n in _FLAT_NAMES if n in sys.modules}
+    if stub_utils:  # THItoGene's `from utils import *`: no utils.py ships
+        sys.modules["utils"] = _module_stub("utils")
+    sys.path.insert(0, d)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            unique_name, os.path.join(d, entry_file)
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[unique_name] = mod
+        spec.loader.exec_module(mod)
+        yield mod
+    finally:
+        sys.path.remove(d)
+        sys.modules.pop(unique_name, None)
+        for n in _FLAT_NAMES:
+            sys.modules.pop(n, None)
+        sys.modules.update(saved)
+
+
+def _sd(ref_model) -> dict:
+    # .numpy() shares memory with torch buffers (in-place BN/optimizer
+    # updates would mutate the converted arrays) — copy.
+    return {k: np.array(v.detach().cpu().numpy())
+            for k, v in ref_model.state_dict().items()}
+
+
+def _assert_structure_matches(model, params, batch_stats, init_args, init_kw=None):
+    """Imported trees must have exactly the init trees' structure+shapes."""
+    variables = model.init(jax.random.PRNGKey(0), *init_args, **(init_kw or {}))
+    want = jax.tree.map(lambda x: tuple(x.shape), variables["params"])
+    got = jax.tree.map(lambda x: tuple(np.shape(x)), params)
+    assert want == got, f"param tree mismatch:\n{want}\nvs\n{got}"
+    if "batch_stats" in variables or batch_stats:
+        want_bs = jax.tree.map(
+            lambda x: tuple(x.shape), variables.get("batch_stats", {})
+        )
+        got_bs = jax.tree.map(lambda x: tuple(np.shape(x)), batch_stats)
+        assert want_bs == got_bs
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------- HisToGene
+
+
+def _histogene_pair(n_genes=12, patch=16, dim=64, n_layers=2, dropout=0.0):
+    with _family("HisToGene", "vis_model.py", "ref_histogene_vis") as mod:
+        torch.manual_seed(0)
+        ref = mod.HisToGene(
+            patch_size=patch, n_layers=n_layers, n_genes=n_genes, dim=dim,
+            dropout=dropout, n_pos=64,
+        )
+    ours = HisToGene(
+        n_genes=n_genes, patch_size=patch, dim=dim, n_layers=n_layers,
+        heads=16, n_pos=64, dropout=dropout,
+    )
+    params, batch_stats = bti.import_histogene_state_dict(_sd(ref), ours)
+    return ref, ours, params, batch_stats
+
+
+def test_histogene_forward_matches_reference(rng):
+    n, patch = 10, 16
+    ref, ours, params, _ = _histogene_pair(patch=patch)
+    u8 = rng.integers(0, 256, size=(n, patch, patch, 3), dtype=np.uint8)
+    pos = rng.integers(0, 64, size=(n, 2))
+    patches = u8.astype(np.float32) / 255.0
+    _assert_structure_matches(
+        ours, params, {}, (jnp.asarray(patches), jnp.asarray(pos, jnp.int32))
+    )
+
+    ref.eval()
+    with torch.no_grad():
+        # the reference dataset flattens HWC patches row-major
+        # (HisToGene/dataset.py:296,335) — identical to our NHWC reshape
+        flat = torch.tensor(patches.reshape(n, -1))[None]
+        want = ref(flat, torch.tensor(pos)[None]).squeeze(0).numpy()
+    got = ours.apply(
+        {"params": params}, jnp.asarray(patches), jnp.asarray(pos, jnp.int32)
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_histogene_training_step_matches_reference(rng):
+    """Gradients at init, every param after one Adam step, and a 5-step MSE
+    loss trajectory (reference ``vis_model.py:169-176,190-192``: Adam lr
+    1e-4, no weight decay, loss = F.mse_loss over the slide)."""
+    from mclstexp_tpu.baselines.trainer import (
+        BaselineConfig, baseline_optimizer, make_slide_step,
+    )
+    from mclstexp_tpu.train.state import TrainState
+
+    n, patch, genes = 8, 16, 12
+    ref, ours, params, _ = _histogene_pair(n_genes=genes, patch=patch)
+    cfg = BaselineConfig(model="histogene", n_genes=genes, patch_size=patch)
+    tx = baseline_optimizer(cfg)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, batch_stats={},
+        opt_state=tx.init(params), tx=tx,
+    )
+    step_fn = make_slide_step(ours, cfg, donate=False)
+    opt = torch.optim.Adam(ref.parameters(), lr=1e-4)
+    ref.train()
+
+    losses_ref, losses_ours = [], []
+    for t in range(5):
+        u8 = rng.integers(0, 256, size=(n, patch, patch, 3), dtype=np.uint8)
+        pos = rng.integers(0, 64, size=(n, 2))
+        exp = rng.normal(size=(n, genes)).astype(np.float32)
+        patches = u8.astype(np.float32) / 255.0
+
+        tp = torch.tensor(patches.reshape(n, -1))[None]
+        pred = ref(tp, torch.tensor(pos)[None])
+        loss = torch.nn.functional.mse_loss(pred.view_as(torch.tensor(exp)),
+                                            torch.tensor(exp))
+        opt.zero_grad()
+        loss.backward()
+        if t == 0:
+            gsd = {k: np.array(v.grad.detach().numpy())
+                   for k, v in ref.named_parameters()}
+            torch_grads, _ = bti.import_histogene_state_dict(gsd, ours)
+
+            def loss_fn(p):
+                out = ours.apply(
+                    {"params": p}, jnp.asarray(patches),
+                    jnp.asarray(pos, jnp.int32), train=True,
+                )
+                return jnp.mean(jnp.square(out - exp))
+
+            jax_grads = jax.grad(loss_fn)(state.params)
+            flat_t = jax.tree_util.tree_flatten_with_path(torch_grads)[0]
+            flat_j = jax.tree_util.tree_flatten_with_path(jax_grads)[0]
+            assert [k for k, _ in flat_t] == [k for k, _ in flat_j]
+            for (path, a), (_, b) in zip(flat_t, flat_j):
+                np.testing.assert_allclose(
+                    np.asarray(b), np.asarray(a), rtol=2e-3, atol=1e-5,
+                    err_msg=f"grad{jax.tree_util.keystr(path)}",
+                )
+        opt.step()
+
+        batch = {
+            "patches": jnp.asarray(u8), "positions": jnp.asarray(pos, jnp.int32),
+            "expression": jnp.asarray(exp), "mask": jnp.ones((n,), bool),
+        }
+        state, jloss = step_fn(state, batch, jax.random.PRNGKey(t))
+        if t == 0:
+            ref_p1, _ = bti.import_histogene_state_dict(_sd(ref), ours)
+            flat_t = jax.tree_util.tree_flatten_with_path(ref_p1)[0]
+            flat_j = jax.tree_util.tree_flatten_with_path(state.params)[0]
+            for (path, a), (_, b) in zip(flat_t, flat_j):
+                # Adam step 1 moves params by ~±lr; sign flips at noise-level
+                # gradient entries bound the divergence by 2*lr
+                np.testing.assert_allclose(
+                    np.asarray(b), np.asarray(a), rtol=1e-4, atol=2.5e-4,
+                    err_msg=f"params@1{jax.tree_util.keystr(path)}",
+                )
+        losses_ref.append(float(loss.detach()))
+        losses_ours.append(float(jloss))
+
+    rel = np.abs(np.asarray(losses_ours) - np.asarray(losses_ref)) / np.abs(
+        np.asarray(losses_ref)
+    )
+    assert rel[0] < 1e-5, f"step-0 loss mismatch: {rel}"
+    assert (rel < 5e-3).all(), f"trajectory diverged: {rel}"
+
+
+def test_histogene_lightning_checkpoint_roundtrip(rng, tmp_path):
+    """`cli baseline --torch-checkpoint` path: a Lightning-style .ckpt on
+    disk (state_dict nested under metadata, HIST2ST_train.py:98 flow) loads
+    to the same trees as the direct state-dict import."""
+    ref, ours, params, _ = _histogene_pair()
+    path = str(tmp_path / "histogene.ckpt")
+    torch.save(
+        {"state_dict": ref.state_dict(), "epoch": 3, "global_step": 99}, path
+    )
+    loaded, loaded_bs = bti.load_baseline_torch_checkpoint(path, "histogene", ours)
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(loaded)[0]
+    assert [k for k, _ in flat_a] == [k for k, _ in flat_b]
+    for (_, a), (_, b) in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert loaded_bs == {}
+
+
+# ------------------------------------------------------------------ Hist2ST
+
+
+def test_hist2st_forward_matches_reference(rng):
+    n, fig, genes = 9, 28, 10
+    kw = dict(depth1=2, depth2=2, depth3=4, heads=4, channel=32,
+              kernel_size=5, patch_size=7, n_pos=64)
+    with _family("His2ST", "HIST2ST.py", "ref_hist2st") as mod:
+        torch.manual_seed(0)
+        ref = mod.Hist2ST(
+            fig_size=fig, n_genes=genes, dropout=0.0, zinb=0.25, nb=False,
+            bake=5, lamb=0.5, **kw,
+        )
+    ours = Hist2ST(
+        n_genes=genes, fig_size=fig, dropout=0.0, zinb=True, nb=False,
+        coef_head=True, **kw,
+    )
+    params, batch_stats = bti.import_hist2st_state_dict(_sd(ref), ours)
+
+    u8 = rng.integers(0, 256, size=(n, fig, fig, 3), dtype=np.uint8)
+    patches = u8.astype(np.float32) / 255.0
+    pos = rng.integers(0, 64, size=(n, 2))
+    from mclstexp_tpu.baselines.graph import knn_adjacency
+
+    adj = knn_adjacency(pos.astype(np.float32), k=4, prune="na")
+    args = (
+        jnp.asarray(patches), jnp.asarray(pos, jnp.int32),
+        jnp.asarray(adj, jnp.float32),
+    )
+    _assert_structure_matches(
+        ours, params, batch_stats, args, init_kw={"aug": True}
+    )
+
+    tp = torch.tensor(patches).permute(0, 3, 1, 2)[None]  # (1, N, 3, H, W)
+    tc = torch.tensor(pos)[None]
+    ta = torch.tensor(adj, dtype=torch.float32)
+
+    variables = {"params": params, "batch_stats": batch_stats}
+    # eval-mode: pred, ZINB extras, h
+    ref.eval()
+    with torch.no_grad():
+        w_pred, w_extra, w_h = ref(tp, tc, ta)
+    pred, extra, h = ours.apply(variables, *args, train=False)
+    np.testing.assert_allclose(np.asarray(pred), w_pred.numpy(), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(h), w_h.numpy(), rtol=2e-4, atol=2e-5)
+    for got_e, want_e in zip(extra, w_extra):
+        np.testing.assert_allclose(
+            np.asarray(got_e), want_e.numpy(), rtol=2e-4, atol=2e-5
+        )
+
+    # bake pass: third output becomes coef(h) (HIST2ST.py:138-141)
+    with torch.no_grad():
+        _, _, w_coef = ref(tp, tc, ta, aug=True)
+    _, _, coef = ours.apply(variables, *args, train=False, aug=True)
+    np.testing.assert_allclose(np.asarray(coef), w_coef.numpy(), rtol=2e-4, atol=2e-5)
+
+    # train-mode BN (batch statistics) forward
+    ref.train()
+    with torch.no_grad():
+        w_pred_t, _, _ = ref(tp, tc, ta)
+    (pred_t, _, _), _ = ours.apply(
+        variables, *args, train=True, mutable=["batch_stats"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(pred_t), w_pred_t.numpy(), rtol=5e-4, atol=5e-5
+    )
+
+
+# ---------------------------------------------------------------- THItoGene
+
+
+def test_thitogene_forward_matches_reference(rng):
+    n, genes = 6, 8
+    with _family("THItoGene", "vis_model.py", "ref_thitogene_vis",
+                 stub_utils=True) as mod:
+        torch.manual_seed(0)
+        ref = mod.THItoGene(
+            patch_size=112, n_layers=2, n_genes=genes, dim=64, dropout=0.0,
+            n_pos=64, heads=[4, 2], caps=4, route_dim=8,
+        )
+    ours = THItoGene(
+        n_genes=genes, patch_size=112, dim=64, n_layers=2, caps=4,
+        route_dim=8, heads=(4, 2), n_pos=64, dropout=0.0,
+    )
+    params, batch_stats = bti.import_thitogene_state_dict(_sd(ref), ours)
+
+    u8 = rng.integers(0, 256, size=(n, 112, 112, 3), dtype=np.uint8)
+    patches = u8.astype(np.float32) / 255.0
+    pos = rng.integers(0, 64, size=(n, 2))
+    from mclstexp_tpu.baselines.graph import knn_adjacency
+
+    adj = knn_adjacency(pos.astype(np.float32), k=4, prune="na")
+    args = (
+        jnp.asarray(patches), jnp.asarray(pos, jnp.int32),
+        jnp.asarray(adj, jnp.float32),
+    )
+    _assert_structure_matches(ours, params, batch_stats, args)
+
+    tp = torch.tensor(patches).permute(0, 3, 1, 2)[None]
+    tc = torch.tensor(pos)[None]
+    ta = torch.tensor(adj, dtype=torch.float32)
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    ref.eval()
+    with torch.no_grad():
+        want = ref(tp, tc, ta).numpy()
+    got = ours.apply(variables, *args, train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-5)
+
+    ref.train()
+    with torch.no_grad():
+        want_t = ref(tp, tc, ta).numpy()
+    got_t, _ = ours.apply(variables, *args, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(got_t), want_t, rtol=5e-4, atol=5e-5)
+
+
+# -------------------------------------------------------------------- BLEEP
+
+
+class _TimmResNet18(torch.nn.Module):
+    """timm ``create_model(..., num_classes=0, global_pool='avg')`` stand-in
+    built on the torchvision-naming _ResNet18 stub: bare resnet key layout
+    (``conv1/bn1/layer1..4``), forward = trunk -> avgpool -> flatten."""
+
+    def __init__(self):
+        super().__init__()
+        import _torchvision_stub as tvs
+
+        r = tvs._ResNet18()
+        for name in ("conv1", "bn1", "relu", "maxpool", "layer1", "layer2",
+                     "layer3", "layer4", "avgpool"):
+            setattr(self, name, getattr(r, name))
+
+    def forward(self, x):
+        h = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        for s in range(1, 5):
+            h = getattr(self, f"layer{s}")(h)
+        return self.avgpool(h).flatten(1)
+
+
+def test_bleep_loss_matches_reference(rng, monkeypatch):
+    """The reference CLIPModel composition — tower -> two projection heads ->
+    soft-target CLIP loss (models.py:9-43,228-234) — against our BLEEP +
+    bleep_clip_loss with shared weights. timm is absent in this image, so an
+    identical res18 tower stands in for resnet50 on BOTH sides (the menu's
+    tower imports are golden-tested per-encoder in test_tower_goldens.py)."""
+    from mclstexp_tpu.baselines.losses import bleep_clip_loss
+
+    _install_global_stubs()
+    timm_mod = sys.modules.get("timm") or importlib.import_module("timm")
+    monkeypatch.setattr(
+        timm_mod, "create_model", lambda *a, **k: _TimmResNet18(), raising=False,
+    )
+    with _family("Bleep", "models.py", "ref_bleep_models") as mod:
+        torch.manual_seed(0)
+        ref = mod.CLIPModel(temperature=1.0, image_embedding=512,
+                            spot_embedding=20)
+    ours = BLEEP(spot_dim=20, encoder_name="res18", projection_dim=256,
+                 dropout=0.1, temperature=1.0)
+    params, batch_stats = bti.import_bleep_state_dict(_sd(ref), ours)
+
+    b, img_px = 4, 64
+    u8 = rng.integers(0, 256, size=(b, img_px, img_px, 3), dtype=np.uint8)
+    images = u8.astype(np.float32) / 255.0
+    expr = rng.normal(size=(b, 20)).astype(np.float32)
+    batch = {"image": jnp.asarray(images), "expression": jnp.asarray(expr)}
+    _assert_structure_matches(ours, params, batch_stats, (batch,))
+
+    ref.eval()
+    with torch.no_grad():
+        want = float(ref({
+            "image": torch.tensor(images).permute(0, 3, 1, 2),
+            "reduced_expression": torch.tensor(expr),
+        }))
+    img_emb, spot_emb = ours.apply(
+        {"params": params, "batch_stats": batch_stats}, batch, train=False
+    )
+    got = float(bleep_clip_loss(spot_emb, img_emb, 1.0))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
