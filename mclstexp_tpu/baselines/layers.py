@@ -19,7 +19,7 @@ All params fp32; compute dtype selectable.
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +42,11 @@ class ConvMixerBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, train: bool = False, mask: Optional[jax.Array] = None
+    ) -> jax.Array:
+        # mask: (N,) sample validity — masked BN statistics keep the
+        # pad-to-bucket scheme exact in train mode (see BatchNormT)
         def dw_unit(h, name):
             h = nn.Conv(
                 self.dim, (self.kernel_size, self.kernel_size), padding="SAME",
@@ -51,7 +55,7 @@ class ConvMixerBlock(nn.Module):
             h = BatchNormT(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=self.dtype, name=f"{name}_bn",
-            )(h)
+            )(h, mask)
             return nn.gelu(h, approximate=False)
 
         h = dw_unit(x, "dw1")
@@ -62,7 +66,7 @@ class ConvMixerBlock(nn.Module):
         x = BatchNormT(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="pw_bn",
-        )(x)
+        )(x, mask)
         return x
 
 
@@ -166,7 +170,9 @@ class ODConv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, train: bool = False, mask: Optional[jax.Array] = None
+    ) -> jax.Array:
         assert self.stride == self.kernel_size, "patchify fast path only"
         b, h, w, cin = x.shape
         k, cout, kn = self.kernel_size, self.out_planes, self.kernel_num
@@ -176,7 +182,7 @@ class ODConv(nn.Module):
         f = nn.Dense(attn_ch, use_bias=False, kernel_init=conv_kaiming_init,
                      dtype=self.dtype, name="fc")(pooled)
         f = BatchNormT(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn")(f)
+                         epsilon=1e-5, dtype=self.dtype, name="bn")(f, mask)
         f = nn.relu(f)
 
         channel_attn = jax.nn.sigmoid(nn.Dense(cin, name="channel_fc")(f))  # (B, Cin)
@@ -256,12 +262,14 @@ class EfficientCapsNet(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, train: bool = False, mask: Optional[jax.Array] = None
+    ) -> jax.Array:
         def conv_bn(h, feat, k, stride, name):
             h = nn.Conv(feat, (k, k), strides=(stride, stride), padding="VALID",
                         kernel_init=conv_kaiming_init, dtype=self.dtype, name=f"{name}_conv")(h)
             h = BatchNormT(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype, name=f"{name}_bn")(h)
+                             epsilon=1e-5, dtype=self.dtype, name=f"{name}_bn")(h, mask)
             return nn.relu(h)
 
         x = conv_bn(x, 32, 5, 1, "c1")

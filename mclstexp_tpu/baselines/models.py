@@ -155,9 +155,11 @@ class Hist2ST(nn.Module):
         # spot tokens; match that placement.
         x = nn.Dropout(self.dropout)(x, deterministic=not train)
         for i in range(self.depth1):
+            # mask -> BN statistics over real spots only: keeps the padded
+            # slide's train-mode forward exactly equal to the unpadded one
             x = ConvMixerBlock(
                 self.channel, self.kernel_size, self.dtype, name=f"mixer{i}"
-            )(x, train)
+            )(x, train, mask)
         x = nn.Conv(self.channel // 8, (1, 1), dtype=self.dtype, name="down")(x)
         # Flatten in (c, h, w) order — the reference's nn.Flatten on an NCHW
         # tensor (HIST2ST.py:50-53) — so the token feature basis (and thus
@@ -236,12 +238,13 @@ class THItoGene(nn.Module):
         mask: Optional[jax.Array] = None,
     ) -> jax.Array:
         n = patches.shape[0]
+        # mask -> BN statistics over real spots only (pad-exact train mode)
         x = ODConv(16, 4, 4, dtype=self.dtype, name="odconv")(
-            patches.astype(self.dtype), train
+            patches.astype(self.dtype), train, mask
         )
         x = nn.relu(x)
         caps = EfficientCapsNet(self.caps, self.route_dim, self.dtype, name="caps")(
-            x, train
+            x, train, mask
         )  # (N, caps, route_dim)
 
         px = self.param(

@@ -9,7 +9,7 @@ running stats, i.e. flax momentum 0.9).
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +41,15 @@ class BatchNormT(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+        """mask: optional (N,) bool over the LEADING axis — batch statistics
+        (and the running-stat update) are computed over the masked samples
+        only. This is what makes the slide baselines' pad-to-bucket scheme
+        EXACT in train mode: the per-patch conv trunks touch other samples
+        only through BN statistics, so masking them out makes the padded
+        forward equal the unpadded one on every real row (the reference
+        trains unpadded dynamic-shape slides). No-op at eval (running
+        stats)."""
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
@@ -56,11 +64,20 @@ class BatchNormT(nn.Module):
         else:
             x32 = x.astype(jnp.float32)
             reduce_axes = tuple(range(x.ndim - 1))
-            n = x.size // c
-            mean = jnp.mean(x32, axis=reduce_axes)
-            var = jnp.mean(jnp.square(x32), axis=reduce_axes) - jnp.square(mean)
+            if mask is None:
+                n = x.size // c
+                mean = jnp.mean(x32, axis=reduce_axes)
+                var = jnp.mean(jnp.square(x32), axis=reduce_axes) - jnp.square(mean)
+            else:
+                w = mask.astype(jnp.float32).reshape(
+                    (x.shape[0],) + (1,) * (x.ndim - 1)
+                )
+                per_sample = x.size // c // x.shape[0]  # spatial elems/sample
+                n = jnp.maximum(jnp.sum(w) * per_sample, 1.0)
+                mean = jnp.sum(x32 * w, axis=reduce_axes) / n
+                var = jnp.sum(jnp.square(x32) * w, axis=reduce_axes) / n - jnp.square(mean)
             if not self.is_initializing():
-                unbiased = var * (n / max(n - 1, 1))
+                unbiased = var * (n / jnp.maximum(n - 1, 1))
                 ra_mean.value = (
                     self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
                 )

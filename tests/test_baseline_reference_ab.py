@@ -363,6 +363,46 @@ def test_hist2st_forward_matches_reference(rng):
     )
 
 
+def test_hist2st_nb_mode_matches_reference(rng):
+    """The NB parameterization (`nb=True`: hr/hp heads instead of
+    mean/disp/pi, HIST2ST.py:117-121) imports and matches too."""
+    n, fig, genes = 6, 14, 8
+    kw = dict(depth1=1, depth2=1, depth3=2, heads=2, channel=32,
+              kernel_size=5, patch_size=7, n_pos=64)
+    with _family("His2ST", "HIST2ST.py", "ref_hist2st_nb") as mod:
+        torch.manual_seed(1)
+        ref = mod.Hist2ST(
+            fig_size=fig, n_genes=genes, dropout=0.0, zinb=0.25, nb=True,
+            bake=0, **kw,
+        )
+    ours = Hist2ST(
+        n_genes=genes, fig_size=fig, dropout=0.0, zinb=True, nb=True,
+        coef_head=False, **kw,
+    )
+    params, batch_stats = bti.import_hist2st_state_dict(_sd(ref), ours)
+
+    u8 = rng.integers(0, 256, size=(n, fig, fig, 3), dtype=np.uint8)
+    patches = u8.astype(np.float32) / 255.0
+    pos = rng.integers(0, 64, size=(n, 2))
+    from mclstexp_tpu.baselines.graph import knn_adjacency
+
+    adj = knn_adjacency(pos.astype(np.float32), k=3, prune="na")
+    ref.eval()
+    with torch.no_grad():
+        w_pred, (w_r, w_p), _ = ref(
+            torch.tensor(patches).permute(0, 3, 1, 2)[None],
+            torch.tensor(pos)[None], torch.tensor(adj, dtype=torch.float32),
+        )
+    pred, (r, p), _ = ours.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(patches), jnp.asarray(pos, jnp.int32),
+        jnp.asarray(adj, jnp.float32), train=False,
+    )
+    np.testing.assert_allclose(np.asarray(pred), w_pred.numpy(), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(r), w_r.numpy(), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(p), w_p.numpy(), rtol=2e-4, atol=2e-5)
+
+
 # ---------------------------------------------------------------- THItoGene
 
 

@@ -319,6 +319,116 @@ def test_slide_dp_sharded_matches_replicated(rng):
         )
 
 
+def test_hist2st_train_mode_pad_equivalence(rng):
+    """TRAIN-mode padded forward == unpadded on the real rows, including the
+    updated BN running stats. BN batch statistics are the only cross-patch
+    channel in the conv trunk, and BatchNormT computes them over the masked
+    samples only — so the pad-to-bucket scheme is exact even in train mode
+    (the reference trains unpadded dynamic-shape slides)."""
+    n, g, fig, pad = 9, 8, 14, 7
+    model = Hist2ST(n_genes=g, fig_size=fig, patch_size=7, channel=16,
+                    depth1=1, depth2=1, depth3=2, heads=2, dropout=0.0,
+                    zinb=True)
+    patches = jnp.asarray(rng.uniform(size=(n, fig, fig, 3)).astype(np.float32))
+    pos = jnp.asarray(rng.integers(0, 64, size=(n, 2)).astype(np.int32))
+    adj = jnp.asarray(graph.knn_adjacency(np.asarray(pos), k=3, prune="none"))
+    variables = model.init(jax.random.PRNGKey(0), patches, pos, adj)
+
+    (out, extra, h), upd = model.apply(
+        variables, patches, pos, adj, train=True, mutable=["batch_stats"]
+    )
+
+    patches_p = jnp.concatenate([patches, jnp.zeros((pad, fig, fig, 3))])
+    pos_p = jnp.concatenate([pos, jnp.zeros((pad, 2), jnp.int32)])
+    adj_p = jnp.zeros((n + pad, n + pad), adj.dtype).at[:n, :n].set(adj)
+    mask = jnp.concatenate([jnp.ones(n, bool), jnp.zeros(pad, bool)])
+    (out_p, extra_p, h_p), upd_p = model.apply(
+        variables, patches_p, pos_p, adj_p, train=True,
+        mutable=["batch_stats"], mask=mask,
+    )
+
+    np.testing.assert_allclose(np.asarray(out_p[:n]), np.asarray(out),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_p[:n]), np.asarray(h),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(extra_p, extra):
+        np.testing.assert_allclose(np.asarray(a[:n]), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(upd_p["batch_stats"])[0],
+        jax.tree_util.tree_flatten_with_path(upd["batch_stats"])[0],
+    ):
+        # masked-sum vs plain-mean reduction trees differ in fp32 order
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-5,
+            err_msg=f"bn{jax.tree_util.keystr(path)}",
+        )
+
+
+def test_thitogene_train_mode_pad_equivalence(rng):
+    """Same train-mode pad exactness for THItoGene's ODConv/CapsNet BNs."""
+    n, g, pad = 5, 8, 3
+    model = THItoGene(n_genes=g, patch_size=112, dim=32, n_layers=1, caps=4,
+                      route_dim=8, heads=(2, 2), dropout=0.0)
+    patches = jnp.asarray(rng.uniform(size=(n, 112, 112, 3)).astype(np.float32))
+    pos = jnp.asarray(rng.integers(0, 64, size=(n, 2)).astype(np.int32))
+    adj = jnp.asarray(graph.knn_adjacency(np.asarray(pos), k=2, prune="none"))
+    variables = model.init(jax.random.PRNGKey(0), patches, pos, adj)
+
+    out, upd = model.apply(
+        variables, patches, pos, adj, train=True, mutable=["batch_stats"]
+    )
+    patches_p = jnp.concatenate([patches, jnp.zeros((pad, 112, 112, 3))])
+    pos_p = jnp.concatenate([pos, jnp.zeros((pad, 2), jnp.int32)])
+    adj_p = jnp.zeros((n + pad, n + pad), adj.dtype).at[:n, :n].set(adj)
+    mask = jnp.concatenate([jnp.ones(n, bool), jnp.zeros(pad, bool)])
+    out_p, upd_p = model.apply(
+        variables, patches_p, pos_p, adj_p, train=True,
+        mutable=["batch_stats"], mask=mask,
+    )
+    np.testing.assert_allclose(np.asarray(out_p[:n]), np.asarray(out),
+                               rtol=2e-4, atol=2e-5)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(upd_p["batch_stats"])[0],
+        jax.tree_util.tree_flatten_with_path(upd["batch_stats"])[0],
+    ):
+        # masked-sum vs plain-mean reduction trees differ in fp32 order
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-5,
+            err_msg=f"bn{jax.tree_util.keystr(path)}",
+        )
+
+
+def test_hist2st_dp_step_with_bake_and_coef(rng):
+    """The vmapped slide-DP step composes with Hist2ST's full aux losses —
+    ZINB heads AND the bake distillation with its learned coef softmax
+    weighting (aug=True applies per bake inside vmap): loss == mean of the
+    sequential per-slide losses."""
+    from mclstexp_tpu.baselines.trainer import (
+        init_baseline, make_slide_dp_step, make_slide_step,
+    )
+
+    sections = synthetic.make_dataset(num_sections=2, num_spots=10,
+                                      num_genes=8, patch_size=14, seed=13)
+    cfg = BaselineConfig(model="hist2st", n_genes=8, patch_size=14,
+                         bucket=16, zinb_coef=0.25, bake=1, lamb=0.5,
+                         max_epochs=1)
+    model, state = init_baseline(cfg, sections[0])
+    assert model.coef_head
+    padded = [pad_slide(s, 16, True, cfg) for s in sections]
+    rngs = [jax.random.fold_in(jax.random.PRNGKey(3), i) for i in range(2)]
+
+    seq_step = make_slide_step(model, cfg, donate=False)
+    seq_losses = [
+        float(seq_step(state, {k: jnp.asarray(v) for k, v in p.items()}, r)[1])
+        for p, r in zip(padded, rngs)
+    ]
+    dp_step = make_slide_dp_step(model, cfg, donate=False)
+    stacked = {k: jnp.stack([np.asarray(p[k]) for p in padded]) for k in padded[0]}
+    _, dp_loss = dp_step(state, stacked, jnp.stack(rngs))
+    np.testing.assert_allclose(float(dp_loss), np.mean(seq_losses), rtol=2e-5)
+
+
 def test_slide_dp_train_fold(rng):
     """train_baseline_fold(mesh=...) drives the slide-DP path end-to-end,
     including an uneven final chunk (3 train slides over an 8-wide mesh)."""
