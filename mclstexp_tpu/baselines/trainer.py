@@ -46,7 +46,10 @@ class BaselineConfig:
     n_pos: int = 64
     lr: Optional[float] = None  # None -> per-family reference default
     weight_decay: Optional[float] = None  # None -> per-family reference default
-    max_epochs: int = 100
+    max_epochs: Optional[int] = None  # None -> per-family reference default
+    n_layers: Optional[int] = None  # slide-ViT depth; None -> family flow
+    # default (HisToGene tutorial trains n_layers=8; THItoGene/train.py uses
+    # 4 for her2st and 8 for cscc — the CLI resolves the dataset)
     seed: int = 0
     bucket: int = 128  # slide padding granularity
     # Hist2ST extras (reference HIST2ST_train.py defaults: zinb .25, bake 5, lamb .5)
@@ -69,13 +72,25 @@ class BaselineConfig:
     temperature: float = 1.0
 
 
-# Reference training-protocol defaults per family:
-#   HisToGene  Adam lr 1e-4            (HisToGene/vis_model.py:82)
-#   Hist2ST    Adam lr 1e-5 + StepLR   (His2ST/HIST2ST_train.py:21, HIST2ST.py:237)
-#   THItoGene  Adam lr 1e-4            (THItoGene/vis_model.py:90)
-#   BLEEP      AdamW lr 1e-3 wd 1e-3   (Bleep/config.py:7-8, BLEEP_main.py:154-156)
-_FAMILY_LR = {"histogene": 1e-4, "hist2st": 1e-5, "thitogene": 1e-4, "bleep": 1e-3}
+# Reference training-protocol defaults per family — taken from each
+# family's RUNNABLE training flow, not from constructor/argparse defaults
+# its entry never uses:
+#   HisToGene  Adam lr 1e-5, 100 epochs, n_layers=8
+#              (tutorial.ipynb cell 3: HisToGene(n_layers=8, ...,
+#               learning_rate=1e-5); Trainer(max_epochs=100) — the only
+#               training entry; the vis_model.py:145 constructor defaults
+#               4/1e-4 are never exercised)
+#   Hist2ST    Adam lr 1e-5 + StepLR, 350 epochs
+#              (HIST2ST_train.py:17,21; HIST2ST.py:237)
+#   THItoGene  Adam lr 1e-5, 300 epochs, n_layers 4 her2st / 8 cscc
+#              (THItoGene/train.py:19-23,92: THItoGene(..., learning_rate=
+#               1e-5, n_layers=4|8); train(i, ViT_HER2ST, 300, ...))
+#   BLEEP      AdamW lr 1e-3 wd 1e-3, 4 epochs
+#              (Bleep/config.py:7-8, BLEEP_main.py:20,154-156)
+_FAMILY_LR = {"histogene": 1e-5, "hist2st": 1e-5, "thitogene": 1e-5, "bleep": 1e-3}
 _FAMILY_WD = {"histogene": 0.0, "hist2st": 0.0, "thitogene": 0.0, "bleep": 1e-3}
+_FAMILY_EPOCHS = {"histogene": 100, "hist2st": 350, "thitogene": 300, "bleep": 4}
+_FAMILY_N_LAYERS = {"histogene": 8, "thitogene": 4}
 
 
 def resolve_lr(cfg: BaselineConfig) -> float:
@@ -84,6 +99,14 @@ def resolve_lr(cfg: BaselineConfig) -> float:
 
 def resolve_weight_decay(cfg: BaselineConfig) -> float:
     return cfg.weight_decay if cfg.weight_decay is not None else _FAMILY_WD[cfg.model]
+
+
+def resolve_epochs(cfg: BaselineConfig) -> int:
+    return cfg.max_epochs if cfg.max_epochs is not None else _FAMILY_EPOCHS[cfg.model]
+
+
+def resolve_n_layers(cfg: BaselineConfig) -> int:
+    return cfg.n_layers if cfg.n_layers is not None else _FAMILY_N_LAYERS[cfg.model]
 
 
 def resolve_bake(cfg: BaselineConfig) -> int:
@@ -98,7 +121,7 @@ def build_baseline(cfg: BaselineConfig):
     if cfg.model == "histogene":
         return HisToGene(
             n_genes=cfg.n_genes, patch_size=cfg.patch_size, n_pos=cfg.n_pos,
-            dropout=0.1, dtype=dtype,
+            n_layers=resolve_n_layers(cfg), dropout=0.1, dtype=dtype,
         )
     if cfg.model == "hist2st":
         return Hist2ST(
@@ -109,7 +132,7 @@ def build_baseline(cfg: BaselineConfig):
     if cfg.model == "thitogene":
         return THItoGene(
             n_genes=cfg.n_genes, patch_size=cfg.patch_size, n_pos=cfg.n_pos,
-            dropout=cfg.dropout, dtype=dtype,
+            n_layers=resolve_n_layers(cfg), dropout=cfg.dropout, dtype=dtype,
         )
     if cfg.model == "bleep":
         return BLEEP(
@@ -397,7 +420,7 @@ def train_baseline_fold(
         dp_step = make_slide_dp_step(model, cfg)
         from mclstexp_tpu.parallel.mesh import shard_batch
 
-        for epoch in range(cfg.max_epochs):
+        for epoch in range(resolve_epochs(cfg)):
             meter = AvgMeter("loss")
             perm = order_rng.permutation(len(padded))
             for start in range(0, len(perm), d_slides):
@@ -420,7 +443,7 @@ def train_baseline_fold(
 
     step_fn = make_slide_step(model, cfg)
     padded = [pad_slide(s, cfg.bucket, uses_adj, cfg) for s in train_secs]
-    for epoch in range(cfg.max_epochs):
+    for epoch in range(resolve_epochs(cfg)):
         meter = AvgMeter("loss")
         for i in order_rng.permutation(len(padded)):
             batch = {k: jnp.asarray(v) for k, v in padded[i].items()}
@@ -502,7 +525,7 @@ def train_bleep_fold(
     model, state = init_baseline(cfg, train_secs[0])
     step_fn = make_bleep_step(model, cfg)
     rng = jax.random.PRNGKey(cfg.seed)
-    for epoch in range(cfg.max_epochs):
+    for epoch in range(resolve_epochs(cfg)):
         meter = AvgMeter("loss")
         for i, batch in enumerate(train_batches(data, cfg.batch_size, cfg.seed, epoch)):
             if mesh is not None:

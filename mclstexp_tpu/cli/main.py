@@ -488,11 +488,17 @@ def cmd_baseline(args) -> int:
     cfg = _build_config(args)
     sections = _load_sections(cfg)
     n_genes = sections[0].num_genes
+    # THItoGene's reference flow deepens the ViT for cSCC
+    # (THItoGene/train.py:19-23: n_layers 4 her2st / 8 skin)
+    n_layers = args.n_layers
+    if n_layers is None and args.baseline == "thitogene" and cfg.data.dataset == "cscc":
+        n_layers = 8
     bcfg = BaselineConfig(
         model=args.baseline,
         n_genes=n_genes,
         patch_size=cfg.data.patch_size,
         max_epochs=args.max_epochs,
+        n_layers=n_layers,
         lr=args.lr,
         seed=args.seed,
         zinb_coef=args.zinb,
@@ -697,8 +703,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="also predict the held-out section on the dense 56-px "
                         "grid (HisToGene SR mode) and write (predictions, "
                         "centers) to this .npz")
-    # let each family resolve its reference default lr (trainer._FAMILY_LR)
-    p.set_defaults(fn=cmd_baseline, lr=None)
+    p.add_argument("--n-layers", type=int, default=None,
+                   help="slide-ViT depth; default = the family's reference "
+                        "flow (HisToGene 8, THItoGene 4/8 by dataset)")
+    # let each family resolve its reference flow defaults
+    # (trainer._FAMILY_LR/_FAMILY_EPOCHS/_FAMILY_N_LAYERS)
+    p.set_defaults(fn=cmd_baseline, lr=None, max_epochs=None)
 
     p = sub.add_parser("bench", help="run the throughput benchmark")
     p.set_defaults(fn=cmd_bench)

@@ -483,21 +483,35 @@ def test_histogene_training_learns(tmp_path):
 
 
 def test_family_protocol_defaults():
-    """Reference training-protocol defaults resolve per family:
-    HisToGene/THItoGene Adam 1e-4 (vis_model.py:82/:90), Hist2ST Adam 1e-5 +
-    StepLR(50, 0.9) + bake=5 (HIST2ST_train.py:21,24; HIST2ST.py:237),
-    BLEEP AdamW 1e-3/wd 1e-3 (Bleep/config.py:7-8)."""
+    """Reference training-protocol defaults resolve per family, taken from
+    each family's RUNNABLE flow (not constructor/argparse defaults its entry
+    never uses): HisToGene tutorial.ipynb trains n_layers=8 / lr 1e-5 /
+    100 epochs; THItoGene train.py:19-23,92 uses lr 1e-5, 300 epochs,
+    n_layers 4 her2st / 8 cscc; Hist2ST Adam 1e-5 + StepLR(50, 0.9) +
+    bake=5, 350 epochs (HIST2ST_train.py:17,21,24; HIST2ST.py:237);
+    BLEEP AdamW 1e-3/wd 1e-3, 4 epochs (Bleep/config.py:7-8,
+    BLEEP_main.py:20)."""
     from mclstexp_tpu.baselines.trainer import (
         baseline_optimizer,
         resolve_bake,
+        resolve_epochs,
         resolve_lr,
+        resolve_n_layers,
         resolve_weight_decay,
     )
 
-    assert resolve_lr(BaselineConfig(model="histogene")) == 1e-4
-    assert resolve_lr(BaselineConfig(model="thitogene")) == 1e-4
+    assert resolve_lr(BaselineConfig(model="histogene")) == 1e-5
+    assert resolve_lr(BaselineConfig(model="thitogene")) == 1e-5
     assert resolve_lr(BaselineConfig(model="hist2st")) == 1e-5
     assert resolve_lr(BaselineConfig(model="bleep")) == 1e-3
+    assert resolve_epochs(BaselineConfig(model="histogene")) == 100
+    assert resolve_epochs(BaselineConfig(model="hist2st")) == 350
+    assert resolve_epochs(BaselineConfig(model="thitogene")) == 300
+    assert resolve_epochs(BaselineConfig(model="bleep")) == 4
+    assert resolve_epochs(BaselineConfig(model="bleep", max_epochs=7)) == 7
+    assert resolve_n_layers(BaselineConfig(model="histogene")) == 8
+    assert resolve_n_layers(BaselineConfig(model="thitogene")) == 4
+    assert resolve_n_layers(BaselineConfig(model="thitogene", n_layers=8)) == 8
     assert resolve_weight_decay(BaselineConfig(model="bleep")) == 1e-3
     assert resolve_weight_decay(BaselineConfig(model="hist2st")) == 0.0
     assert resolve_bake(BaselineConfig(model="hist2st")) == 5
