@@ -606,6 +606,34 @@ def _baseline_super_resolution(args, cfg, bcfg, model, state, sections) -> dict:
     return {"path": out, "grid_spots": int(len(centers))}
 
 
+def cmd_export_torch(args) -> int:
+    """Export an Orbax checkpoint to the reference's torch .pt layout.
+
+    The reverse of ``eval --torch-checkpoint``: a model trained HERE becomes
+    a ``state_dict`` the reference's own eval scripts and tutorial load
+    unchanged (``evel_her2st.py:32-39``) — verified bit-exact by re-import
+    before the file is written (models/image/torch_export.py).
+    """
+    cfg = _build_config(args)
+    if args.variant != "attention":
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, variant=args.variant)
+        )
+    from mclstexp_tpu.models.image.torch_export import save_reference_checkpoint
+    from mclstexp_tpu.train import checkpoint as ckpt
+
+    restored = ckpt.restore_checkpoint(args.checkpoint)
+    path = save_reference_checkpoint(
+        args.out,
+        restored["params"],
+        restored.get("batch_stats", {}) or {},
+        cfg.model,
+        pos_rows=args.pos_rows,
+    )
+    print(f"wrote reference-layout state_dict: {path}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
 
@@ -709,6 +737,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     # let each family resolve its reference flow defaults
     # (trainer._FAMILY_LR/_FAMILY_EPOCHS/_FAMILY_N_LAYERS)
     p.set_defaults(fn=cmd_baseline, lr=None, max_epochs=None)
+
+    p = sub.add_parser("export-torch",
+                       help="export an Orbax checkpoint to a reference torch .pt")
+    _add_model_flags(p); _add_data_flags(p); _add_dist_flags(p)
+    p.add_argument("--checkpoint", type=str, required=True,
+                   help="Orbax checkpoint directory (a fold's best_<k> dir)")
+    p.add_argument("--out", type=str, required=True, help="output .pt path")
+    p.add_argument("--variant", type=str, default="attention",
+                   choices=["attention", "mlp"])
+    p.add_argument("--pos-rows", type=int, default=65536,
+                   help="pad the positional tables back to this many rows "
+                        "(the reference's nn.Embedding(65536) layout; ST "
+                        "presets train on a sliced prefix)")
+    p.set_defaults(fn=cmd_export_torch)
 
     p = sub.add_parser("bench", help="run the throughput benchmark")
     p.set_defaults(fn=cmd_bench)
