@@ -462,6 +462,60 @@ def cmd_predict(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Serve patch -> predicted-expression over HTTP from one checkpoint.
+
+    The deployment path the reference lacks (its inference is a per-dataset
+    batch script, ``evel_her2st.py:120-226``): the spot database — every
+    loaded section's embeddings + expression profiles — is built once,
+    stays HBM-resident, and each POST /predict runs the image tower at
+    bucket-padded static shapes plus the fused top-K retrieval
+    (infer/serve.py). ``--exclude-fold`` drops one section from the
+    database (the LOO protocol's held-out key set, for honest demos on
+    training data)."""
+    cfg = _build_config(args)
+    from mclstexp_tpu.infer.serve import PredictionService, make_server
+    from mclstexp_tpu.train import checkpoint as ckpt
+    from mclstexp_tpu.train.state import create_train_state
+
+    # The database is spot-tower only; query patches arrive over HTTP, so
+    # the (multi-GB at her2st scale) patch caches never load or upload.
+    sections = _load_sections(cfg, with_patches=False)
+    ps = cfg.data.patch_size
+    sample = {
+        "image": np.zeros((1, ps, ps, 3), np.float32),
+        "expression": sections[0].expression[:1],
+        "position": sections[0].positions[:1],
+    }
+    model, state0 = create_train_state(cfg.model, cfg.train, sample)
+    restored = ckpt.restore_checkpoint(args.checkpoint)
+    state = ckpt.apply_checkpoint(state0, restored)
+
+    db_sections = sections
+    if args.exclude_fold is not None:
+        db_sections = [s for i, s in enumerate(sections) if i != args.exclude_fold]
+    gene_names = None
+    if cfg.data.dataset != "synthetic":
+        from mclstexp_tpu.data import genes
+
+        gene_names = [str(g) for g in
+                      genes.load_panel(cfg.data.dataset, cfg.data.gene_panel or None)]
+    service = PredictionService.from_sections(
+        model, state.params, state.batch_stats, db_sections,
+        batch_size=cfg.eval.batch_size, top_k=cfg.eval.top_k,
+        weight_ord=cfg.eval.weight_ord, raw_scale=cfg.data.visium_raw_scale,
+        max_batch=args.max_batch, gene_names=gene_names,
+    )
+    server = make_server(service, host=args.host, port=args.port)
+    host, port = server.server_address[:2]
+    print(json.dumps({"serving": f"http://{host}:{port}", **service.info()}))
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:  # pragma: no cover
+        server.shutdown()
+    return 0
+
+
 def cmd_baseline(args) -> int:
     """Train + evaluate one baseline family on one fold (the comparison
     harness the reference vendors under ``baselines/``).
@@ -737,6 +791,21 @@ def main(argv: Optional[List[str]] = None) -> int:
     # let each family resolve its reference flow defaults
     # (trainer._FAMILY_LR/_FAMILY_EPOCHS/_FAMILY_N_LAYERS)
     p.set_defaults(fn=cmd_baseline, lr=None, max_epochs=None)
+
+    p = sub.add_parser("serve", help="HTTP prediction service from a checkpoint")
+    _add_model_flags(p); _add_data_flags(p); _add_dist_flags(p)
+    p.add_argument("--checkpoint", type=str, required=True,
+                   help="Orbax checkpoint directory (a fold's best_<k> dir)")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8777,
+                   help="0 binds an ephemeral port (printed on startup)")
+    p.add_argument("--max-batch", type=int, default=256,
+                   help="largest patch-count bucket compiled for the image "
+                        "tower; bigger requests are chunked")
+    p.add_argument("--exclude-fold", type=int, default=None,
+                   help="drop this section from the retrieval database "
+                        "(LOO-held-out semantics)")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("export-torch",
                        help="export an Orbax checkpoint to a reference torch .pt")

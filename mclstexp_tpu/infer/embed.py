@@ -51,15 +51,30 @@ def _eval_model(model: MclSTExp) -> MclSTExp:
     return MclSTExp(dataclasses.replace(model.config, dense_block_impl="concat"))
 
 
-def prepare_eval_arrays(sections: Sequence[Section]):
+def prepare_eval_arrays(sections: Sequence[Section], with_patches: bool = True):
     """Upload the concatenated eval arrays to HBM once.
 
     The LOO protocol embeds the SAME sections under every fold's checkpoint
     (reference ``evel_her2st.py:129-133``); preparing once saves a several-
     hundred-MB H2D transfer per fold. Returns an opaque handle for
-    `compute_embeddings(prepared=...)`."""
+    `compute_embeddings(prepared=...)`.
+
+    with_patches=False skips the patch upload entirely (the dominant H2D
+    byte count) for spot-tower-only consumers — e.g. the serving database
+    (infer/serve.py), whose queries arrive over HTTP."""
     import jax
 
+    if not with_patches:
+        return {
+            "n": sum(s.num_spots for s in sections),
+            "patches": None,
+            "expression": jax.device_put(
+                np.concatenate([s.expression for s in sections], axis=0)
+            ),
+            "positions": jax.device_put(
+                np.concatenate([s.positions for s in sections], axis=0)
+            ),
+        }
     data = ConcatSections.from_sections(sections)
     return {
         "n": len(data),
@@ -81,6 +96,7 @@ def compute_embeddings(
     raw_scale: bool = False,
     image_batch_size: Optional[int] = None,
     as_device: bool = False,
+    tower: str = "both",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(image_embeddings, spot_embeddings), each (sum N_i, P), section order
     preserved. Batches of `batch_size` cross section boundaries (parity).
@@ -89,12 +105,14 @@ def compute_embeddings(
     quirk (seeded; reference ``dataset.py:316-325``); raw_scale keeps the
     raw 0-255 float input scale (reference ``dataset.py:336`` quirk).
     as_device=True returns jax device arrays (no D2H) — the LOO eval keeps
-    embeddings + key sets HBM-resident across folds this way."""
+    embeddings + key sets HBM-resident across folds this way.
+    tower="image"/"spot" runs only that sweep (the other return is None) —
+    the serving database needs just the spot side and no patch upload."""
     import jax
 
     rng = jax.random.PRNGKey(seed)
     if prepared is None:
-        prepared = prepare_eval_arrays(sections)
+        prepared = prepare_eval_arrays(sections, with_patches=(tower != "spot"))
     n = prepared["n"]
     patches_dev = prepared["patches"]
     expr_dev = prepared["expression"]
@@ -112,11 +130,17 @@ def compute_embeddings(
     # re-trace.
     sweep = _make_sweep(_eval_model(model), eval_augment, raw_scale)
     image_bs = image_batch_size or max(batch_size, 256)
-    img = sweep(params, batch_stats, (patches_dev,), n, image_bs, "image", rng)
-    spot = sweep(params, batch_stats, (expr_dev, pos_dev), n, batch_size, "spot", rng)
+    img = spot = None
+    if tower in ("both", "image"):
+        img = sweep(params, batch_stats, (patches_dev,), n, image_bs, "image", rng)
+    if tower in ("both", "spot"):
+        spot = sweep(params, batch_stats, (expr_dev, pos_dev), n, batch_size, "spot", rng)
     if as_device:
         return img, spot
-    return np.asarray(img), np.asarray(spot)
+    return (
+        img if img is None else np.asarray(img),
+        spot if spot is None else np.asarray(spot),
+    )
 
 
 @functools.lru_cache(maxsize=8)
