@@ -470,9 +470,17 @@ def cmd_serve(args) -> int:
     loaded section's embeddings + expression profiles — is built once,
     stays HBM-resident, and each POST /predict runs the image tower at
     bucket-padded static shapes plus the fused top-K retrieval
-    (infer/serve.py). ``--exclude-fold`` drops one section from the
-    database (the LOO protocol's held-out key set, for honest demos on
-    training data)."""
+    (infer/serve.py). ``--exclude-fold`` masks one section out of
+    retrieval AFTER embedding all sections together — exactly the LOO
+    protocol's held-out key set (infer/evaluate.py embeds the full
+    concatenation, then key-masks; dropping the section first would shift
+    B=32 batch-as-sequence boundaries and change the remaining keys'
+    embeddings, reference ``evel_her2st.py:66-69``).
+
+    Deliberate divergence: the visium preset's eval-time random
+    augmentation (``eval_time_augment``, reference ``dataset.py:316-325``)
+    is NOT applied to query patches — a server must answer the same patch
+    with the same prediction (see infer/serve.py module docstring)."""
     cfg = _build_config(args)
     from mclstexp_tpu.infer.serve import PredictionService, make_server
     from mclstexp_tpu.train import checkpoint as ckpt
@@ -491,9 +499,6 @@ def cmd_serve(args) -> int:
     restored = ckpt.restore_checkpoint(args.checkpoint)
     state = ckpt.apply_checkpoint(state0, restored)
 
-    db_sections = sections
-    if args.exclude_fold is not None:
-        db_sections = [s for i, s in enumerate(sections) if i != args.exclude_fold]
     gene_names = None
     if cfg.data.dataset != "synthetic":
         from mclstexp_tpu.data import genes
@@ -501,10 +506,12 @@ def cmd_serve(args) -> int:
         gene_names = [str(g) for g in
                       genes.load_panel(cfg.data.dataset, cfg.data.gene_panel or None)]
     service = PredictionService.from_sections(
-        model, state.params, state.batch_stats, db_sections,
-        batch_size=cfg.eval.batch_size, top_k=cfg.eval.top_k,
+        model, state.params, state.batch_stats, sections,
+        batch_size=cfg.eval.batch_size, exclude_section=args.exclude_fold,
+        top_k=cfg.eval.top_k,
         weight_ord=cfg.eval.weight_ord, raw_scale=cfg.data.visium_raw_scale,
         max_batch=args.max_batch, gene_names=gene_names,
+        patch_size=cfg.data.patch_size,
     )
     server = make_server(service, host=args.host, port=args.port)
     host, port = server.server_address[:2]

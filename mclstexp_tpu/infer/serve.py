@@ -19,6 +19,13 @@ same building blocks ``cli eval`` uses:
 * the HTTP layer is stdlib-only (ThreadingHTTPServer + JSON/base64): many
   client threads, one device — JAX serializes device work per process.
 
+Deliberate divergence from the Visium eval path: the reference's
+``TenxDataset`` applies RANDOM flips/rotations to every query patch even at
+inference (reference ``dataset.py:316-325``, kept by the ``cli eval`` visium
+preset via ``eval_time_augment``). A server must be deterministic — the same
+patch gets the same prediction — so query patches are embedded exactly as
+sent; only the ``raw_scale`` (0-255 input) quirk carries over.
+
 Params/batch_stats are threaded through the jitted encoder as ARGUMENTS,
 never closed over: closure device arrays become remote-compile-request
 constants and the flagship's positional tables alone exceed the TPU
@@ -40,10 +47,13 @@ from mclstexp_tpu.ops.retrieval import retrieve_and_aggregate
 
 
 def _bucket_size(n: int, max_batch: int) -> int:
-    """Smallest power-of-two >= n, capped at max_batch."""
-    if n >= max_batch:
-        return max_batch
-    return 1 << max(n - 1, 0).bit_length()
+    """Smallest power-of-two >= n, capped at max_batch.
+
+    The cap wins even when the next power of two overshoots it (e.g.
+    ``_bucket_size(150, 200) == 200``, not 256): ``--max-batch`` exists to
+    bound per-program HBM and compile size, so padded buckets must never
+    exceed it."""
+    return min(max_batch, 1 << max(n - 1, 0).bit_length())
 
 
 @functools.lru_cache(maxsize=8)
@@ -89,6 +99,8 @@ class PredictionService:
         raw_scale: bool = False,
         max_batch: int = 256,
         gene_names: Optional[Sequence[str]] = None,
+        patch_size: Optional[int] = None,
+        key_mask=None,
     ):
         import jax.numpy as jnp
 
@@ -102,14 +114,31 @@ class PredictionService:
                 f"key embeddings ({self.key_emb.shape[0]}) and expressions "
                 f"({self.key_expr.shape[0]}) disagree on database size"
             )
-        # K can't exceed the database (reference K=200 assumes >=200 keys).
-        self.top_k = min(top_k, int(self.key_emb.shape[0]))
+        self.key_mask = None
+        n_active = int(self.key_emb.shape[0])
+        if key_mask is not None:
+            self.key_mask = jnp.asarray(key_mask, dtype=bool)
+            if self.key_mask.shape != (self.key_emb.shape[0],):
+                raise ValueError(
+                    f"key_mask shape {self.key_mask.shape} must be "
+                    f"({self.key_emb.shape[0]},)"
+                )
+            n_active = int(np.asarray(self.key_mask).sum())
+            if n_active == 0:
+                raise ValueError("key_mask deactivates every database row")
+        # K can't exceed the retrievable database (reference K=200 assumes
+        # >=200 keys).
+        self.top_k = min(top_k, n_active)
         self.weight_ord = weight_ord
         self.raw_scale = raw_scale
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self.max_batch = max_batch
         self.gene_names = list(gene_names) if gene_names is not None else None
+        # Every (H, W) shape compiles its own XLA program (~25s each over the
+        # TPU tunnel) and off-size patches are out of distribution, so pin
+        # the training patch size and 400 mismatches instead.
+        self.patch_size = None if patch_size is None else int(patch_size)
         # Forward-only path: rebind slow dense-block materializations the
         # same way the eval sweep does (infer/embed._eval_model — piecewise
         # without a backward pass loses to concat, PROFILE_r03.md).
@@ -126,11 +155,20 @@ class PredictionService:
         sections,
         *,
         batch_size: int = 32,
+        exclude_section: Optional[int] = None,
         **kwargs,
     ) -> "PredictionService":
         """Build the database by embedding ``sections``' spot side under this
         checkpoint (the reference's phase-A spot sweep, B=32 batch-as-sequence
         parity semantics) and pairing it with their expression profiles.
+
+        ``exclude_section`` masks one section's rows out of retrieval while
+        STILL embedding all sections together — the LOO protocol embeds the
+        full concatenation and excludes the held-out section afterward via a
+        key mask (infer/evaluate.py:61-95); dropping the section before the
+        sweep would shift B=32 batch boundaries and change every remaining
+        key's embedding (batch-as-sequence is parity-load-bearing,
+        reference ``evel_her2st.py:66-69``).
 
         Spot-tower only: no image sweep runs and no patches are uploaded
         (``tower="spot"`` skips the dominant H2D byte count) — sections
@@ -142,6 +180,17 @@ class PredictionService:
             as_device=True, tower="spot",
         )
         expr = np.concatenate([s.expression for s in sections], axis=0)
+        if exclude_section is not None:
+            if not 0 <= exclude_section < len(sections):
+                raise ValueError(
+                    f"exclude_section {exclude_section} out of range for "
+                    f"{len(sections)} sections"
+                )
+            sizes = [s.expression.shape[0] for s in sections]
+            mask = np.ones(sum(sizes), bool)
+            start = sum(sizes[:exclude_section])
+            mask[start:start + sizes[exclude_section]] = False
+            kwargs["key_mask"] = mask
         return cls(model, params, batch_stats, spot, expr, **kwargs)
 
     @property
@@ -159,6 +208,15 @@ class PredictionService:
         if patches.ndim != 4 or patches.shape[-1] != 3:
             raise ValueError(
                 f"patches must be (B, H, W, 3) NHWC uint8, got {patches.shape}"
+            )
+        if self.patch_size is not None and (
+            patches.shape[1] != self.patch_size
+            or patches.shape[2] != self.patch_size
+        ):
+            raise ValueError(
+                f"patches must be {self.patch_size}x{self.patch_size} (the "
+                f"model's training patch size), got "
+                f"{patches.shape[1]}x{patches.shape[2]}"
             )
         return patches
 
@@ -186,13 +244,17 @@ class PredictionService:
         _, pred = retrieve_and_aggregate(
             self.key_emb, self.key_expr, query,
             top_k=self.top_k, weight_ord=self.weight_ord,
+            key_mask=self.key_mask,
         )
         return pred
 
     def info(self) -> dict:
+        n_active = self.num_keys if self.key_mask is None else int(
+            np.asarray(self.key_mask).sum())
         return {
             "status": "ok",
             "num_keys": self.num_keys,
+            "num_active_keys": n_active,
             "num_genes": self.num_genes,
             "top_k": self.top_k,
             "weight_ord": self.weight_ord,
@@ -269,6 +331,10 @@ class _Handler(BaseHTTPRequestHandler):
                 result = service.embed_patches(patches)
         except (ValueError, KeyError, TypeError) as e:  # JSONDecodeError is a ValueError
             self._reply(400, {"error": str(e)})
+            return
+        except Exception as e:  # noqa: BLE001 — a handler-thread escape would
+            # drop the connection with no HTTP response at all
+            self._reply(500, {"error": f"{type(e).__name__}: {e}"})
             return
         self._reply(200, _encode_result(result, bool(payload.get("b64"))))
 

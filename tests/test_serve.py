@@ -98,6 +98,66 @@ def test_bucket_size():
     assert _bucket_size(4, 256) == 4
     assert _bucket_size(33, 256) == 64
     assert _bucket_size(300, 256) == 256
+    # --max-batch is a hard HBM/compile bound: the cap wins even when it is
+    # not a power of two (150 would otherwise round up past it to 256)
+    assert _bucket_size(150, 200) == 200
+    assert _bucket_size(201, 200) == 200
+
+
+def test_exclude_section_masks_after_joint_embedding(setup):
+    """from_sections(exclude_section=i) must keep the FULL concatenation's
+    embeddings (batch-as-sequence boundaries unchanged) and merely mask
+    section i's rows out of retrieval — the LOO protocol's key-mask
+    semantics (infer/evaluate.py), not a smaller database."""
+    cfg, sections, model, state, service = setup
+    loo = PredictionService.from_sections(
+        model, state.params, state.batch_stats, sections,
+        batch_size=cfg.eval.batch_size, exclude_section=1,
+        top_k=cfg.eval.top_k, weight_ord=cfg.eval.weight_ord, max_batch=32,
+    )
+    # embeddings identical to the unmasked service: no boundary shift
+    np.testing.assert_array_equal(
+        np.asarray(loo.key_emb), np.asarray(service.key_emb))
+    sizes = [s.num_spots for s in sections]
+    mask = np.asarray(loo.key_mask)
+    assert mask.shape == (sum(sizes),)
+    start = sizes[0]
+    assert not mask[start:start + sizes[1]].any()
+    assert mask[:start].all() and mask[start + sizes[1]:].all()
+    assert loo.info()["num_active_keys"] == sum(sizes) - sizes[1]
+
+    # predictions equal explicit masked retrieval over the same database
+    patches = sections[1].patches[:5]
+    pred = loo.predict(patches)
+    q = loo.embed_patches(patches)
+    _, want = retrieve_and_aggregate(
+        loo.key_emb, loo.key_expr, q, top_k=loo.top_k,
+        weight_ord=loo.weight_ord, key_mask=loo.key_mask,
+    )
+    np.testing.assert_allclose(pred, want, atol=1e-6)
+    with pytest.raises(ValueError, match="out of range"):
+        PredictionService.from_sections(
+            model, state.params, state.batch_stats, sections,
+            batch_size=cfg.eval.batch_size, exclude_section=3,
+        )
+
+
+def test_patch_size_validation(setup):
+    """A pinned patch size rejects off-size patches (each novel H/W would
+    otherwise compile a fresh XLA program and embed out-of-distribution)."""
+    cfg, sections, model, state, service = setup
+    pinned = PredictionService(
+        model, state.params, state.batch_stats,
+        np.asarray(service.key_emb), np.asarray(service.key_expr),
+        top_k=cfg.eval.top_k, weight_ord=cfg.eval.weight_ord,
+        patch_size=16,
+    )
+    ok = pinned.embed_patches(sections[0].patches[:2])
+    assert ok.shape[0] == 2
+    with pytest.raises(ValueError, match="training patch size"):
+        pinned.embed_patches(np.zeros((2, 32, 32, 3), np.uint8))
+    with pytest.raises(ValueError, match="training patch size"):
+        pinned.embed_patches(np.zeros((2, 16, 8, 3), np.uint8))
 
 
 def test_predict_is_retrieval_over_database(setup):
@@ -198,6 +258,19 @@ def test_http_roundtrip(setup):
         with pytest.raises(urllib.error.HTTPError) as exc:
             urllib.request.urlopen(f"{base}/nope")
         assert exc.value.code == 404
+
+        # an unexpected server-side failure yields HTTP 500 with an error
+        # body, not a dropped connection from a dead handler thread
+        orig = service.predict
+        service.predict = lambda p: (_ for _ in ()).throw(
+            RuntimeError("XLA shape boom"))
+        try:
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                _post(f"{base}/predict", {"patches": patches.tolist()})
+            assert exc.value.code == 500
+            assert "XLA shape boom" in json.loads(exc.value.read())["error"]
+        finally:
+            service.predict = orig
     finally:
         server.shutdown()
         server.server_close()
