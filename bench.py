@@ -5,6 +5,19 @@ protocol — DenseNet121 image tower + 2-block spot transformer, batch 128,
 224x224 patches, on-device augmentation fused into the jitted step — the
 exact per-step work of reference ``train.py:30-42``.
 
+Methodology (round 4): every metric is timed over >=3 INDEPENDENT windows,
+each window draining to a host VALUE readback (``float(loss)`` /
+``np.asarray``), never to ``block_until_ready`` — on this remote-TPU
+transport block_until_ready can resolve long before the device finishes
+(measured: 20 chained steps "done" in 130 ms vs 1.47 s to the actual value,
+PROFILE_r02.md). If the window spread (max-min)/median exceeds 5% we run up
+to 2 extra windows; the JSON reports median/min/max per metric so a single
+contended window can no longer swing the headline (VERDICT r3 weak #1/#2).
+A tunnel-health probe (device_put + readback of a fixed buffer) runs first
+and is reported alongside, so a slow *session* (host/tunnel contention, as
+suspected for the r03 driver run whose init+transfer took 31 s vs 9.1 s) is
+distinguishable from a slow *program*.
+
 Baseline: the reference publishes no throughput numbers (BASELINE.md), and
 no reference GPU exists in this environment, so the denominator is MEASURED
 from the part of the reference stack that runs on the host and provably
@@ -23,12 +36,91 @@ Prints exactly one JSON line on stdout.
 """
 
 import json
+import statistics
 import sys
 import time
 
 import numpy as np
 
 REF_SPOTS_PER_SEC_FALLBACK = 100.0  # rounds 1-2 engineering estimate
+
+BATCH = 128
+IMAGE = 224
+SPOT_DIM = 785
+WARMUP = 3
+STEPS = 20
+
+N_WINDOWS = 3  # independent timed windows per metric
+MAX_WINDOWS = 5  # grow to this many if spread > SPREAD_TOL
+SPREAD_TOL = 0.05
+
+_T_START = time.perf_counter()
+
+
+def _log(msg: str) -> None:
+    print(f"[{time.perf_counter() - _T_START:7.1f}s] {msg}", file=sys.stderr)
+
+
+def timed_windows(run_once, label: str, n_windows: int = N_WINDOWS,
+                  max_windows: int = MAX_WINDOWS) -> list:
+    """Time `run_once` (must END in a host value readback) over independent
+    windows. Runs `n_windows`, then keeps adding windows (up to
+    `max_windows`) while the relative spread (max-min)/median exceeds
+    SPREAD_TOL. Returns per-window durations in seconds."""
+    dts = []
+    while True:
+        t0 = time.perf_counter()
+        run_once()
+        dts.append(time.perf_counter() - t0)
+        _log(f"{label} window {len(dts)}: {dts[-1]:.3f}s")
+        if len(dts) < n_windows:
+            continue
+        med = statistics.median(dts)
+        spread = (max(dts) - min(dts)) / med if med else 0.0
+        if spread <= SPREAD_TOL or len(dts) >= max_windows:
+            if spread > SPREAD_TOL:
+                _log(f"{label}: spread {spread * 100:.1f}% > "
+                     f"{SPREAD_TOL * 100:.0f}% after {len(dts)} windows")
+            return dts
+
+
+def window_stats(dts: list, scale: float = 1.0) -> dict:
+    """median/min/max of `dts * scale` plus window count.
+
+    NOTE on min vs max of the derived metric: callers converting durations
+    to rates should pass the durations here and invert the MEDIAN."""
+    vals = [d * scale for d in dts]
+    return {
+        "median": round(statistics.median(vals), 3),
+        "min": round(min(vals), 3),
+        "max": round(max(vals), 3),
+        "n_windows": len(vals),
+    }
+
+
+def probe_tunnel(jax) -> dict:
+    """Round-trip a fixed 8 MB buffer host->device->host and report MB/s
+    each way. A slow probe indicts the session/tunnel, not the programs
+    (the r03 driver anomaly: init+transfer 31 s vs 9.1 s in r02)."""
+    mb = 8
+    buf = np.ones((mb * 1024 * 1024 // 4,), np.float32)
+    # warm (allocator + any lazy connection setup)
+    x = jax.device_put(buf)
+    np.asarray(x)
+    t0 = time.perf_counter()
+    x = jax.device_put(buf)
+    x.block_until_ready()
+    put_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(x)
+    get_s = time.perf_counter() - t0
+    out = {
+        "tunnel_put_mb_per_s": round(mb / put_s, 1),
+        "tunnel_get_mb_per_s": round(mb / get_s, 1),
+    }
+    _log(f"tunnel probe: put {out['tunnel_put_mb_per_s']} MB/s, "
+         f"get {out['tunnel_get_mb_per_s']} MB/s")
+    return out
 
 
 def measure_ref_baseline() -> tuple:
@@ -42,17 +134,21 @@ def measure_ref_baseline() -> tuple:
         print(f"reference input-pipeline measurement failed: {e}", file=sys.stderr)
         return REF_SPOTS_PER_SEC_FALLBACK, "engineering_estimate"
 
-BATCH = 128
-IMAGE = 224
-SPOT_DIM = 785
-WARMUP = 3
-STEPS = 20
-
 
 def main():
     import os
 
     import jax
+
+    # MCLSTEXP_BENCH_SMOKE=1: tiny shapes on whatever backend is present —
+    # validates the harness (windows, JSON schema, readbacks) in seconds,
+    # NOT a performance measurement. Used by tests/CI on the 1-core host.
+    global BATCH, IMAGE, STEPS, WARMUP
+    smoke = os.environ.get("MCLSTEXP_BENCH_SMOKE") == "1"
+    if smoke:
+        BATCH, IMAGE, STEPS, WARMUP = 4, 64, 2, 1
+        jax.config.update("jax_platforms", "cpu")
+        _log("SMOKE mode: tiny shapes on CPU; numbers are meaningless")
 
     # Persistent compilation cache: remote-tunnel compiles of this program
     # vary 60-500s run-to-run; a warm cache makes repeat benches immediate.
@@ -69,11 +165,12 @@ def main():
     from mclstexp_tpu.train.step import make_train_step
 
     dev = jax.devices()[0]
-    print(f"device: {dev}", file=sys.stderr)
+    _log(f"device: {dev}")
+    tunnel = probe_tunnel(jax)
 
     dense_impl = os.environ.get("MCLSTEXP_BENCH_DENSE_IMPL", "piecewise8")
     if dense_impl != "piecewise8":
-        print(f"dense_block_impl={dense_impl}", file=sys.stderr)
+        _log(f"dense_block_impl={dense_impl}")
     # The flagship her2st protocol: its preset keeps only the reachable
     # 1024-row prefix of the positional tables (config.py PRESETS note —
     # bit-identical behavior, ~9.6 ms/step less optimizer/layout traffic
@@ -108,7 +205,7 @@ def main():
     # remote-TPU tunnel; see train/state.py).
     t0 = time.perf_counter()
     model, state = create_train_state(cfg.model, cfg.train, sample)
-    print(f"init+transfer: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    _log(f"init+transfer: {time.perf_counter() - t0:.1f}s")
 
     step_fn = make_train_step(model, augment_mode="st", donate=True)
     device_batch = {k: jax.device_put(v) for k, v in host_batch.items()}
@@ -117,52 +214,68 @@ def main():
     t0 = time.perf_counter()
     state, loss = step_fn(state, device_batch, jax.random.fold_in(key, 0))
     loss.block_until_ready()
-    print(f"compile: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    _log(f"compile: {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
     for i in range(1, WARMUP):
         state, loss = step_fn(state, device_batch, jax.random.fold_in(key, i))
     float(loss)  # drain the device queue before the timed region starts
-    print(f"warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    _log(f"warmup: {time.perf_counter() - t0:.1f}s")
 
-    t0 = time.perf_counter()
-    for i in range(STEPS):
-        state, loss = step_fn(state, device_batch, jax.random.fold_in(key, 100 + i))
-    # Time to the final loss VALUE on the host, not block_until_ready():
-    # on the remote transport block_until_ready can resolve before device
-    # completion (measured: 20 chained DenseNet steps "completing" in 130 ms
-    # vs 1.47 s to the actual value — PROFILE_r02.md). The readback is a true
-    # data dependency on the whole chain.
-    final_loss = float(loss)
-    dt = time.perf_counter() - t0
+    # --- train-step windows: STEPS chained steps each, ending in a host
+    # value readback (a true data dependency on the whole chain). State is
+    # carried across windows (donated buffers), and float(loss) drains the
+    # queue so windows are independent.
+    step_counter = [100]
+    last_loss = [0.0]
+    state_box = {"state": state}
 
-    spots_per_sec = BATCH * STEPS / dt
-    print(
-        f"steps: {STEPS} x B={BATCH} in {dt:.3f}s "
-        f"({dt / STEPS * 1000:.1f} ms/step, loss={final_loss:.4f})",
-        file=sys.stderr,
-    )
+    def train_window():
+        st = state_box["state"]
+        for _ in range(STEPS):
+            st, loss = step_fn(
+                st, device_batch, jax.random.fold_in(key, step_counter[0]))
+            step_counter[0] += 1
+        state_box["state"] = st
+        last_loss[0] = float(loss)
 
-    eval_spots_per_sec, retrieval_qps = bench_eval_path(jax, model, state)
-    streaming = bench_streaming_retrieval(jax)
-    fold_eval = bench_fold_eval(jax)
-    slide_attn = bench_slide_attention(jax)
+    train_dts = timed_windows(train_window, "train")
+    state = state_box["state"]
+    train_ms = window_stats(train_dts, scale=1000.0 / STEPS)
+    med_dt = statistics.median(train_dts)
+    spots_per_sec = BATCH * STEPS / med_dt
+    _log(f"train: {train_ms['n_windows']} windows x {STEPS} steps, "
+         f"median {train_ms['median']:.1f} ms/step "
+         f"(min {train_ms['min']:.1f}, max {train_ms['max']:.1f}; "
+         f"loss={last_loss[0]:.4f})")
+
+    if smoke:
+        eval_stats = bench_eval_path(jax, model, state, n_eval=64, n_keys=128,
+                                     top_k=8, image=IMAGE)
+        streaming = bench_streaming_retrieval(jax, n_query=16, n_keys=2048,
+                                              p=16, top_k=8)
+        fold_eval = bench_fold_eval(jax, n_sections=4, spots=16, p=16, top_k=4)
+        slide_attn = bench_slide_attention(jax, n=128, dim=64, heads=2,
+                                           dim_head=16, iters=2)
+    else:
+        eval_stats = bench_eval_path(jax, model, state)
+        streaming = bench_streaming_retrieval(jax)
+        fold_eval = bench_fold_eval(jax)
+        slide_attn = bench_slide_attention(jax)
 
     ref_sps, ref_provenance = measure_ref_baseline()
-    print(
-        f"reference baseline: {ref_sps:.1f} spots/s ({ref_provenance})",
-        file=sys.stderr,
-    )
+    _log(f"reference baseline: {ref_sps:.1f} spots/s ({ref_provenance})")
     print(
         json.dumps(
             {
                 "metric": "train_spots_per_sec",
                 "value": round(spots_per_sec, 2),
-                "unit": "patches+spots/sec/chip",
+                "unit": "patches+spots/sec/chip (median window)",
                 "vs_baseline": round(spots_per_sec / ref_sps, 2),
                 "ref_baseline_spots_per_sec": round(ref_sps, 2),
                 "ref_baseline_provenance": ref_provenance,
-                "eval_spots_per_sec": round(eval_spots_per_sec, 2),
-                "retrieval_queries_per_sec": round(retrieval_qps, 2),
+                "train_ms_per_step": train_ms,
+                **tunnel,
+                **eval_stats,
                 **streaming,
                 **fold_eval,
                 **slide_attn,
@@ -184,29 +297,30 @@ def bench_streaming_retrieval(jax, n_query=3456, n_keys=200_000, p=256,
         STREAMING_SCORE_ELEMENTS, retrieve_and_aggregate,
     )
 
-    assert n_query * n_keys > STREAMING_SCORE_ELEMENTS  # auto-path engages
+    # past the threshold the auto-path engages; smaller (smoke) sizes force it
+    force = None if n_query * n_keys > STREAMING_SCORE_ELEMENTS else True
     kk, kg, kq = jax.random.split(jax.random.PRNGKey(3), 3)
     key_emb = jax.random.normal(kk, (n_keys, p), jnp.float32)
     key_expr = jax.random.normal(kg, (n_keys, g), jnp.float32)
     query = jax.random.normal(kq, (n_query, p), jnp.float32)
     jax.block_until_ready((key_emb, key_expr, query))
 
+    def once():
+        # retrieve_and_aggregate returns host ndarrays — a true value readback
+        retrieve_and_aggregate(key_emb, key_expr, query, top_k=top_k,
+                               weight_ord=1, streaming=force)
+
     t0 = time.perf_counter()
-    retrieve_and_aggregate(key_emb, key_expr, query, top_k=top_k, weight_ord=1)
-    print(f"streaming retrieval compile+run: {time.perf_counter() - t0:.1f}s",
-          file=sys.stderr)
-    t0 = time.perf_counter()
-    # retrieve_and_aggregate returns host ndarrays — a true value readback.
-    retrieve_and_aggregate(key_emb, key_expr, query, top_k=top_k, weight_ord=1)
-    dt = time.perf_counter() - t0
-    qps = n_query / dt
-    print(
-        f"streaming retrieval: {n_query} queries x {n_keys} keys (K={top_k}) "
-        f"in {dt:.3f}s ({qps:.0f} queries/s)",
-        file=sys.stderr,
-    )
+    once()
+    _log(f"streaming retrieval compile+run: {time.perf_counter() - t0:.1f}s")
+    dts = timed_windows(once, "streaming_retrieval")
+    med = statistics.median(dts)
+    qps = n_query / med
+    _log(f"streaming retrieval: {n_query} queries x {n_keys} keys "
+         f"(K={top_k}) median {med:.3f}s ({qps:.0f} queries/s)")
     return {
         "streaming_retrieval_queries_per_sec": round(qps, 2),
+        "streaming_retrieval_s": window_stats(dts),
         "streaming_retrieval_n_keys": n_keys,
     }
 
@@ -217,7 +331,7 @@ def bench_fold_eval(jax, n_sections=32, spots=420, p=256, g=SPOT_DIM, top_k=200,
     path (VERDICT r2 #8 / weak #5). The host path re-concatenates 31
     sections' embeddings+expressions and re-uploads ~40 MB per fold over the
     tunnel; the resident path keeps one device key set and ships a bool mask.
-    Measures `folds` folds of each at her2st scale and reports ms/fold."""
+    Each window measures `folds` folds; ms/fold = median window / folds."""
     import numpy as np
 
     from mclstexp_tpu.infer import evaluate
@@ -231,11 +345,14 @@ def bench_fold_eval(jax, n_sections=32, spots=420, p=256, g=SPOT_DIM, top_k=200,
     # warm the compile (uniform sizes -> every fold reuses one executable)
     evaluate.evaluate_fold(0, img_embs[0], spot_embs, exprs,
                            top_k=top_k, weight_ord=1)
-    t0 = time.perf_counter()
-    for fold in range(1, folds + 1):
-        evaluate.evaluate_fold(fold, img_embs[fold], spot_embs, exprs,
-                               top_k=top_k, weight_ord=1)
-    host_ms = (time.perf_counter() - t0) / folds * 1000
+
+    def host_window():
+        for fold in range(1, folds + 1):
+            evaluate.evaluate_fold(fold, img_embs[fold], spot_embs, exprs,
+                                   top_k=top_k, weight_ord=1)
+
+    host_dts = timed_windows(host_window, "fold_eval_host")
+    host_ms = window_stats(host_dts, scale=1000.0 / folds)
 
     bounds = evaluate.section_bounds(sizes)
     import jax.numpy as jnp
@@ -247,20 +364,21 @@ def bench_fold_eval(jax, n_sections=32, spots=420, p=256, g=SPOT_DIM, top_k=200,
     # first fold compiles; time the rest
     evaluate.evaluate_fold_resident(0, img_full, spot_full, expr_full, bounds,
                                     exprs[0], top_k=top_k, weight_ord=1)
-    t0 = time.perf_counter()
-    for fold in range(1, folds + 1):
-        evaluate.evaluate_fold_resident(fold, img_full, spot_full, expr_full,
-                                        bounds, exprs[fold], top_k=top_k,
-                                        weight_ord=1)
-    resident_ms = (time.perf_counter() - t0) / folds * 1000
-    print(
-        f"fold eval ({n_sections}x{spots} spots, K={top_k}): host-concat "
-        f"{host_ms:.0f} ms/fold vs device-resident {resident_ms:.0f} ms/fold",
-        file=sys.stderr,
-    )
+
+    def resident_window():
+        for fold in range(1, folds + 1):
+            evaluate.evaluate_fold_resident(fold, img_full, spot_full,
+                                            expr_full, bounds, exprs[fold],
+                                            top_k=top_k, weight_ord=1)
+
+    res_dts = timed_windows(resident_window, "fold_eval_resident")
+    res_ms = window_stats(res_dts, scale=1000.0 / folds)
+    _log(f"fold eval ({n_sections}x{spots} spots, K={top_k}): host-concat "
+         f"{host_ms['median']:.0f} ms/fold vs device-resident "
+         f"{res_ms['median']:.0f} ms/fold")
     return {
-        "fold_eval_host_ms": round(host_ms, 1),
-        "fold_eval_resident_ms": round(resident_ms, 1),
+        "fold_eval_host_ms": host_ms,
+        "fold_eval_resident_ms": res_ms,
     }
 
 
@@ -291,19 +409,23 @@ def bench_slide_attention(jax, n=4096, dim=1024, heads=16, dim_head=64,
 
         try:
             params = m.init(jax.random.PRNGKey(0), x0)
-            xx = step(params, x0, x0)
-            float(jnp.asarray(xx).ravel()[0])
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                xx = step(params, xx, x0)
-            float(jnp.asarray(xx).ravel()[0])
-            ms = (time.perf_counter() - t0) / iters * 1000
-            out[f"slide_attn_{backend}_ms"] = round(ms, 2)
-            print(f"slide attention ({backend}): N={n} fwd+bwd {ms:.2f} ms",
-                  file=sys.stderr)
+            box = {"xx": step(params, x0, x0)}
+            float(jnp.asarray(box["xx"]).ravel()[0])
+
+            def window():
+                xx = box["xx"]
+                for _ in range(iters):
+                    xx = step(params, xx, x0)
+                float(jnp.asarray(xx).ravel()[0])
+                box["xx"] = xx
+
+            dts = timed_windows(window, f"slide_attn_{backend}")
+            st = window_stats(dts, scale=1000.0 / iters)
+            out[f"slide_attn_{backend}_ms"] = st
+            _log(f"slide attention ({backend}): N={n} fwd+bwd "
+                 f"{st['median']:.2f} ms (median)")
         except Exception as e:  # flash needs a real TPU
-            print(f"slide attention ({backend}) unavailable: {e}",
-                  file=sys.stderr)
+            _log(f"slide attention ({backend}) unavailable: {e}")
     return out
 
 
@@ -336,42 +458,48 @@ def bench_eval_path(
     }
     jax.block_until_ready(prepared["patches"])
 
+    img_box = {}
+
     def sweep_once():
-        return embed.compute_embeddings(
+        # compute_embeddings returns host ndarrays — a true value readback
+        img, _ = embed.compute_embeddings(
             model, state.params, state.batch_stats, sections=[],
             batch_size=32, prepared=prepared,
         )
+        img_box["img"] = img
 
     t0 = time.perf_counter()
-    img, _ = sweep_once()
-    print(f"eval sweep compile+run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    t0 = time.perf_counter()
-    img, _ = sweep_once()
-    dt_sweep = time.perf_counter() - t0
-    eval_spots_per_sec = N_EVAL / dt_sweep
-    print(
-        f"eval sweep: {N_EVAL} spots x 2 towers in {dt_sweep:.3f}s "
-        f"({eval_spots_per_sec:.0f} spots/s)",
-        file=sys.stderr,
-    )
+    sweep_once()
+    _log(f"eval sweep compile+run: {time.perf_counter() - t0:.1f}s")
+    sweep_dts = timed_windows(sweep_once, "eval_sweep")
+    med = statistics.median(sweep_dts)
+    eval_spots_per_sec = N_EVAL / med
+    _log(f"eval sweep: {N_EVAL} spots x 2 towers median {med:.3f}s "
+         f"({eval_spots_per_sec:.0f} spots/s)")
+    img = img_box["img"]
 
     key_emb = jax.random.normal(kk, (N_KEYS, img.shape[1]), jnp.float32)
     key_expr = jax.random.normal(kg, (N_KEYS, spot_dim), jnp.float32)
     jax.block_until_ready((key_emb, key_expr))
 
+    def retrieval_once():
+        retrieve_and_aggregate(key_emb, key_expr, img, top_k=TOP_K,
+                               weight_ord=1)
+
     t0 = time.perf_counter()
-    retrieve_and_aggregate(key_emb, key_expr, img, top_k=TOP_K, weight_ord=1)
-    print(f"retrieval compile+run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    t0 = time.perf_counter()
-    retrieve_and_aggregate(key_emb, key_expr, img, top_k=TOP_K, weight_ord=1)
-    dt_ret = time.perf_counter() - t0
-    retrieval_qps = N_EVAL / dt_ret
-    print(
-        f"retrieval: {N_EVAL} queries x {N_KEYS} keys (K={TOP_K}) in "
-        f"{dt_ret:.3f}s ({retrieval_qps:.0f} queries/s)",
-        file=sys.stderr,
-    )
-    return eval_spots_per_sec, retrieval_qps
+    retrieval_once()
+    _log(f"retrieval compile+run: {time.perf_counter() - t0:.1f}s")
+    ret_dts = timed_windows(retrieval_once, "retrieval")
+    med_ret = statistics.median(ret_dts)
+    retrieval_qps = N_EVAL / med_ret
+    _log(f"retrieval: {N_EVAL} queries x {N_KEYS} keys (K={TOP_K}) median "
+         f"{med_ret:.3f}s ({retrieval_qps:.0f} queries/s)")
+    return {
+        "eval_spots_per_sec": round(eval_spots_per_sec, 2),
+        "eval_sweep_s": window_stats(sweep_dts),
+        "retrieval_queries_per_sec": round(retrieval_qps, 2),
+        "retrieval_s": window_stats(ret_dts),
+    }
 
 
 if __name__ == "__main__":
