@@ -168,6 +168,28 @@ def _load_sections(cfg, with_patches: bool = True):
     return load()
 
 
+def _maybe_remap(cfg, sections):
+    """Apply the dense coordinate remap when the preset asks for it.
+
+    Visium feeds RAW PIXEL coords to the positional tables (reference
+    ``dataset.py:316-341``, hence its 65536-row ``nn.Embedding``s,
+    ``model.py:204-205``); ``DataConfig.pos_remap`` rewrites them to dense
+    row ids over the observed values and shrinks ``ModelConfig.pos_vocab``
+    to match — exact per-coordinate semantics (data/posremap.py). Returns
+    (cfg, sections, remap-or-None); built over ALL sections so train and
+    eval derive the identical mapping."""
+    if not cfg.data.pos_remap:
+        return cfg, sections, None
+    from mclstexp_tpu.data.posremap import PosRemap
+
+    remap = PosRemap.build(sections)
+    sections = remap.apply_sections(sections)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, pos_vocab=remap.vocab)
+    )
+    return cfg, sections, remap
+
+
 def _visium_matrix_dirs(cfg) -> dict:
     from mclstexp_tpu.data.visium import VISIUM_SECTIONS, VISIUM_SECTIONS_ALEX
 
@@ -246,6 +268,13 @@ def cmd_train(args) -> int:
     from mclstexp_tpu.utils.logging import MetricLogger
 
     sections = _load_sections(cfg)
+    cfg, sections, remap = _maybe_remap(cfg, sections)
+    if remap is not None:
+        # persisted for interop tools that run without the dataset on disk
+        # (export-torch); train/eval themselves rebuild it deterministically.
+        d = os.path.join(cfg.train.checkpoint_dir, cfg.data.dataset)
+        os.makedirs(d, exist_ok=True)
+        remap.save(os.path.join(d, "pos_remap.npz"))
     logger = MetricLogger(path=os.path.join(cfg.train.checkpoint_dir, "train_log.jsonl"))
     if args.fold is not None:
         train_fold(cfg, sections, args.fold, logger=logger, resume=args.resume)
@@ -336,6 +365,7 @@ def cmd_eval(args) -> int:
         return 0
 
     sections = _load_sections(cfg)
+    cfg, sections, remap = _maybe_remap(cfg, sections)
     from mclstexp_tpu.train.loop import check_positions_in_vocab
 
     check_positions_in_vocab(sections, cfg.model.pos_vocab)
@@ -366,7 +396,7 @@ def cmd_eval(args) -> int:
             from mclstexp_tpu.models.image.torch_import import load_into_state
 
             pt = args.torch_checkpoint.format(fold=fold, name=sections[fold].name)
-            state = load_into_state(state0, pt, cfg.model)
+            state = load_into_state(state0, pt, cfg.model, pos_remap=remap)
         else:
             ckpt_dir = ckpt.fold_checkpoint_dir(
                 cfg.train.checkpoint_dir, cfg.data.dataset, sections[fold].name, fold
@@ -431,6 +461,7 @@ def cmd_predict(args) -> int:
     from mclstexp_tpu.train.state import create_train_state
 
     sections = _load_sections(cfg)
+    cfg, sections, _ = _maybe_remap(cfg, sections)
     fold = args.fold
     data = ConcatSections.from_sections(sections[:1])
     b = data.take(np.arange(8))
@@ -489,6 +520,7 @@ def cmd_serve(args) -> int:
     # The database is spot-tower only; query patches arrive over HTTP, so
     # the (multi-GB at her2st scale) patch caches never load or upload.
     sections = _load_sections(cfg, with_patches=False)
+    cfg, sections, _ = _maybe_remap(cfg, sections)
     ps = cfg.data.patch_size
     sample = {
         "image": np.zeros((1, ps, ps, 3), np.float32),
@@ -683,6 +715,11 @@ def cmd_export_torch(args) -> int:
     from mclstexp_tpu.models.image.torch_export import save_reference_checkpoint
     from mclstexp_tpu.train import checkpoint as ckpt
 
+    remap = None
+    if args.pos_remap:
+        from mclstexp_tpu.data.posremap import PosRemap
+
+        remap = PosRemap.load(args.pos_remap)
     restored = ckpt.restore_checkpoint(args.checkpoint)
     path = save_reference_checkpoint(
         args.out,
@@ -690,6 +727,7 @@ def cmd_export_torch(args) -> int:
         restored.get("batch_stats", {}) or {},
         cfg.model,
         pos_rows=args.pos_rows,
+        pos_remap=remap,
     )
     print(f"wrote reference-layout state_dict: {path}")
     return 0
@@ -826,6 +864,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="pad the positional tables back to this many rows "
                         "(the reference's nn.Embedding(65536) layout; ST "
                         "presets train on a sliced prefix)")
+    p.add_argument("--pos-remap", type=str, default="",
+                   help="pos_remap.npz written by `train` for a pos_remap "
+                        "preset (visium): scatter the compact table rows "
+                        "back to their raw-coordinate rows")
     p.set_defaults(fn=cmd_export_torch)
 
     p = sub.add_parser("bench", help="run the throughput benchmark")

@@ -119,6 +119,12 @@ class DataConfig:
     eval_time_augment: bool = False  # TenxDataset quirk: the reference
     # applies random flips/rotations even at inference (dataset.py:316-325);
     # set True for strict parity on Visium.
+    pos_remap: bool = False  # remap observed raw coords to dense row ids at
+    # load time (data/posremap.py) and shrink ModelConfig.pos_vocab to the
+    # observed-value count — exact per-coordinate semantics, a fraction of
+    # the 65536-row tables' optimizer/layout traffic. Visium preset default
+    # (its raw pixel coords are why the reference needs 65536 rows,
+    # dataset.py:316-341).
     visium_raw_scale: bool = False  # TenxDataset quirk: the reference feeds
     # Visium patches as RAW 0-255 floats — `torch.tensor(image).permute(...)
     # .float()` with no /255 (dataset.py:336) — at train AND eval. True (the
@@ -163,6 +169,7 @@ def _preset(
     eval_time_augment: bool = False,
     visium_raw_scale: bool = False,
     pos_vocab: int = 65536,
+    pos_remap: bool = False,
 ) -> Config:
     return Config(
         model=ModelConfig(spot_dim=spot_dim, pos_vocab=pos_vocab),
@@ -173,6 +180,7 @@ def _preset(
             num_folds=num_folds,
             eval_time_augment=eval_time_augment,
             visium_raw_scale=visium_raw_scale,
+            pos_remap=pos_remap,
         ),
     )
 
@@ -189,13 +197,16 @@ def _preset(
 # values (and their dense-Adam decay) cannot affect any output. The ST
 # presets therefore keep only a 1024-row table: bit-identical model behavior
 # at a tiny fraction of the 2 x 206 MB tables' ~9.6 ms/step optimizer+layout
-# traffic (PROFILE_r02). Out-of-range coords raise at load (train/loop.py)
+# traffic (PROFILE_r02). The visium preset can't prefix-slice (raw pixel
+# coords span the full range) so it REMAPS observed values to dense rows at
+# load time instead (pos_remap, data/posremap.py) — same effect, exact
+# per-coordinate semantics. Out-of-range coords raise at load (train/loop.py)
 # instead of the reference's silent clamp.
 PRESETS = {
     "her2st": _preset("her2st", 785, 32, 200, 1, pos_vocab=1024),
     "cscc": _preset("cscc", 171, 12, 600, 2, pos_vocab=1024),
     "visium": _preset("visium", 685, 9, 200, 2, eval_time_augment=True,
-                      visium_raw_scale=True),
+                      visium_raw_scale=True, pos_remap=True),
     "synthetic": Config(
         model=ModelConfig(
             # spot_dim matches data.synthetic.make_dataset's num_genes default

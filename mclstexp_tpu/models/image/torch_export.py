@@ -197,6 +197,7 @@ def export_reference_state_dict(
     cfg: ModelConfig,
     pos_rows: int = _REFERENCE_POS_ROWS,
     verify: bool = True,
+    pos_remap=None,
 ) -> Dict[str, np.ndarray]:
     """Convert (params, batch_stats) of ``models.mclstexp.MclSTExp`` into the
     reference's torch ``state_dict`` layout.
@@ -204,6 +205,9 @@ def export_reference_state_dict(
     ``pos_rows`` pads the positional tables back up to the reference's
     hard-coded ``nn.Embedding(65536, d)`` rows (zeros beyond
     ``cfg.pos_vocab`` — unreachable for the preset that sliced them).
+    ``pos_remap`` (data/posremap.PosRemap, visium preset): SCATTER the compact
+    rows back to their raw-coordinate rows instead of prefix-padding; zeros
+    elsewhere (unreachable by the dataset the remap was built from).
     ``verify`` re-imports the exported dict through
     ``import_reference_state_dict`` and asserts bit-equality against the
     inputs, making a silently lossy export impossible.
@@ -218,12 +222,20 @@ def export_reference_state_dict(
         pos_src = ("spot_encoder", "pos")
     else:
         pos_src = ("pos",)
-    e.out["x_embed.weight"] = _pad_pos_table(
-        e._get(e.params, (*pos_src, "x_embed")), pos_rows
-    )
-    e.out["y_embed.weight"] = _pad_pos_table(
-        e._get(e.params, (*pos_src, "y_embed")), pos_rows
-    )
+    if pos_remap is not None:
+        e.out["x_embed.weight"] = pos_remap.scatter_x(
+            e._get(e.params, (*pos_src, "x_embed")), pos_rows
+        )
+        e.out["y_embed.weight"] = pos_remap.scatter_y(
+            e._get(e.params, (*pos_src, "y_embed")), pos_rows
+        )
+    else:
+        e.out["x_embed.weight"] = _pad_pos_table(
+            e._get(e.params, (*pos_src, "x_embed")), pos_rows
+        )
+        e.out["y_embed.weight"] = _pad_pos_table(
+            e._get(e.params, (*pos_src, "y_embed")), pos_rows
+        )
 
     _export_projection(e, "image_projection", "image_projection")
     _export_projection(e, "spot_projection", "spot_projection")
@@ -245,7 +257,7 @@ def export_reference_state_dict(
         )
 
     if verify:
-        _verify_roundtrip(e.out, params, batch_stats, cfg)
+        _verify_roundtrip(e.out, params, batch_stats, cfg, pos_remap=pos_remap)
     return e.out
 
 
@@ -259,20 +271,29 @@ def _flatten(tree: Dict[str, Any], prefix=()) -> Dict[tuple, np.ndarray]:
     return flat
 
 
-def _verify_roundtrip(sd, params, batch_stats, cfg: ModelConfig) -> None:
+def _verify_roundtrip(sd, params, batch_stats, cfg: ModelConfig,
+                      pos_remap=None) -> None:
     from mclstexp_tpu.models.image.torch_import import import_reference_state_dict
 
     # The importer expects the attention variant's attribute names; shim the
     # mlp tower typo the same way reference checkpoints are shimmed.
     shimmed = {k.replace("image_ecode.", "image_encoder."): v for k, v in sd.items()}
-    re_params, re_stats = import_reference_state_dict(shimmed, cfg)
+    re_params, re_stats = import_reference_state_dict(shimmed, cfg,
+                                                      pos_remap=pos_remap)
     for got, want, label in ((re_params, params, "params"),
                              (re_stats, batch_stats, "batch_stats")):
         flat_got, flat_want = _flatten(got), _flatten(want)
         if flat_got.keys() != flat_want.keys():
             raise AssertionError(f"export roundtrip changed the {label} tree")
         for path, leaf in flat_got.items():
-            if not np.array_equal(leaf, flat_want[path]):
+            other = flat_want[path]
+            if pos_remap is not None and path[-1] in ("x_embed", "y_embed"):
+                # compact-table padding rows (never indexed) scatter to
+                # nowhere and reimport as zeros: compare observed rows only
+                n = len(pos_remap.x_values if path[-1] == "x_embed"
+                        else pos_remap.y_values)
+                leaf, other = leaf[:n], other[:n]
+            if not np.array_equal(leaf, other):
                 raise AssertionError(
                     f"export roundtrip mismatch at {label}.{'.'.join(path)}"
                 )
@@ -285,13 +306,15 @@ def save_reference_checkpoint(
     cfg: ModelConfig,
     pos_rows: int = _REFERENCE_POS_ROWS,
     verify: bool = True,
+    pos_remap=None,
 ) -> str:
     """``torch.save`` a reference-layout ``state_dict`` .pt — the file format
     the reference's eval scripts load (``evel_her2st.py:32``)."""
     import torch
 
     sd = export_reference_state_dict(
-        params, batch_stats, cfg, pos_rows=pos_rows, verify=verify
+        params, batch_stats, cfg, pos_rows=pos_rows, verify=verify,
+        pos_remap=pos_remap,
     )
     torch.save(
         {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, path

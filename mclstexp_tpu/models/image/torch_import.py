@@ -182,11 +182,15 @@ def _import_projection(b: _TreeBuilder, sd, base: str, dest: str):
 
 
 def import_reference_state_dict(
-    sd: Dict[str, np.ndarray], cfg: ModelConfig
+    sd: Dict[str, np.ndarray], cfg: ModelConfig, pos_remap=None
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Convert a reference mclSTExp state_dict (already key-shimmed) into
     (params, batch_stats) for models.mclstexp.MclSTExp. Raises on unconsumed
-    or missing tensors so silent partial imports can't happen."""
+    or missing tensors so silent partial imports can't happen.
+
+    ``pos_remap`` (data/posremap.PosRemap): gather the (65536, d) positional
+    tables at the observed coordinate values instead of prefix-slicing —
+    exact for models fed remapped dense coords (the visium preset)."""
     b = _TreeBuilder()
 
     if cfg.encoder_name == "densenet121":
@@ -206,6 +210,9 @@ def import_reference_state_dict(
     # datasets those presets serve, so the slice is exact.
     def _pos_table(key):
         t = b.take(sd, key)
+        if pos_remap is not None:
+            slicer = pos_remap.slice_x if key.startswith("x_") else pos_remap.slice_y
+            return slicer(t)
         return t[: cfg.pos_vocab] if cfg.pos_vocab < t.shape[0] else t
 
     if cfg.variant == "attention":
@@ -340,14 +347,14 @@ def load_pretrained_tower(
     return new_params, new_stats
 
 
-def load_into_state(state, pt_path: str, cfg: ModelConfig):
+def load_into_state(state, pt_path: str, cfg: ModelConfig, pos_remap=None):
     """Restore a reference .pt checkpoint into a TrainState (eval use)."""
     import jax
 
     from mclstexp_tpu.train.checkpoint import load_torch_state_dict
 
     sd = load_torch_state_dict(pt_path)
-    params, batch_stats = import_reference_state_dict(sd, cfg)
+    params, batch_stats = import_reference_state_dict(sd, cfg, pos_remap=pos_remap)
     ref_shapes = jax.tree.map(lambda x: x.shape, state.params)
     new_shapes = jax.tree.map(lambda x: x.shape, params)
     if ref_shapes != new_shapes:

@@ -81,8 +81,9 @@ def check_positions_in_vocab(sections: Sequence[Section], pos_vocab: int) -> Non
         if m >= pos_vocab:
             raise ValueError(
                 f"section {s.name}: position coordinate {m} >= pos_vocab "
-                f"{pos_vocab}; raise ModelConfig.pos_vocab (the visium "
-                f"preset uses 65536 for raw pixel coords)"
+                f"{pos_vocab}; raise ModelConfig.pos_vocab, or remap raw "
+                f"coords to dense rows first (DataConfig.pos_remap / "
+                f"data/posremap.py — the visium preset default)"
             )
 
 
