@@ -740,6 +740,14 @@ def cmd_bench(args) -> int:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "bench.py")])
 
 
+def cmd_fetch(args) -> int:
+    """Acquire a dataset (reference ``data/download.sh:1`` equivalent) and
+    print the hvg/train commands to run next — see docs/MIGRATION.md."""
+    from mclstexp_tpu.data.fetch import fetch
+
+    return fetch(args.dataset, args.dest, dry_run=args.dry_run)
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     parser = argparse.ArgumentParser(prog="mclstexp_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -869,6 +877,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "preset (visium): scatter the compact table rows "
                         "back to their raw-coordinate rows")
     p.set_defaults(fn=cmd_export_torch)
+
+    p = sub.add_parser("fetch", help="download a dataset and print next steps")
+    p.add_argument("dataset", choices=["her2st", "cscc", "visium"])
+    p.add_argument("--dest", type=str, default="./datasets",
+                   help="download root (data-root paths are printed after)")
+    p.add_argument("--dry-run", action="store_true",
+                   help="print the fetch commands without executing")
+    p.set_defaults(fn=cmd_fetch)
 
     p = sub.add_parser("bench", help="run the throughput benchmark")
     p.set_defaults(fn=cmd_bench)

@@ -144,7 +144,11 @@ def load_her2st_section(
     with_labels: bool = False,
     with_patches: bool = True,
 ) -> Section:
-    cnt = _read_tsv(os.path.join(root, "ST-cnts", f"{name}.tsv"), index_col=0)
+    cnt_path = os.path.join(root, "ST-cnts", f"{name}.tsv")
+    if not os.path.exists(cnt_path):
+        # almaan/her2st (cli fetch her2st) ships the counts gzipped
+        cnt_path += ".gz"
+    cnt = _read_tsv(cnt_path, index_col=0)
     pos = _pos_with_id(os.path.join(root, "ST-spotfiles", f"{name}_selection.tsv"))
     meta = cnt.join(pos.set_index("id"))  # left join, dataset.py:249
     labels = her2st_labels(root, name, meta.index) if with_labels else None
@@ -188,8 +192,11 @@ def load_cscc_section(
     cache_dir: Optional[str] = None,
     with_patches: bool = True,
 ) -> Section:
-    cnt_path = glob.glob(os.path.join(root, f"*{name}_stdata.tsv"))[0]
-    pos_path = glob.glob(os.path.join(root, f"*spot*{name}.tsv"))[0]
+    # GEO's GSE144240_RAW archive (cli fetch cscc) ships these gzipped
+    cnt_path = (glob.glob(os.path.join(root, f"*{name}_stdata.tsv"))
+                or glob.glob(os.path.join(root, f"*{name}_stdata.tsv.gz")))[0]
+    pos_path = (glob.glob(os.path.join(root, f"*spot*{name}.tsv"))
+                or glob.glob(os.path.join(root, f"*spot*{name}.tsv.gz")))[0]
     cnt = _read_tsv(cnt_path, index_col=0)
     pos = _pos_with_id(pos_path)
     meta = cnt.join(pos.set_index("id"), how="inner")  # dataset.py:134
