@@ -16,7 +16,9 @@ contended window can no longer swing the headline (VERDICT r3 weak #1/#2).
 A tunnel-health probe (device_put + readback of a fixed buffer) runs first
 and is reported alongside, so a slow *session* (host/tunnel contention, as
 suspected for the r03 driver run whose init+transfer took 31 s vs 9.1 s) is
-distinguishable from a slow *program*.
+distinguishable from a slow *program*. Round 4 adds the visium-preset train
+step (spot_dim 685, pos_remap-compacted 4096-row positional tables) — the
+third flagship preset no longer pays the 65536-row tables.
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md), and
 no reference GPU exists in this environment, so the denominator is MEASURED
@@ -135,6 +137,89 @@ def measure_ref_baseline() -> tuple:
         return REF_SPOTS_PER_SEC_FALLBACK, "engineering_estimate"
 
 
+def time_train_windows(jax, model, state, device_batch, label):
+    """Compile + warm + >=3 independent train-step windows; returns
+    (final_state, per-window durations). Each window chains STEPS donated
+    steps and drains to float(loss)."""
+    from mclstexp_tpu.train.step import make_train_step
+
+    step_fn = make_train_step(model, augment_mode="st", donate=True)
+    key = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    state, loss = step_fn(state, device_batch, jax.random.fold_in(key, 0))
+    loss.block_until_ready()
+    _log(f"{label} compile: {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    for i in range(1, WARMUP):
+        state, loss = step_fn(state, device_batch, jax.random.fold_in(key, i))
+    float(loss)  # drain the device queue before the timed region starts
+    _log(f"{label} warmup: {time.perf_counter() - t0:.1f}s")
+
+    step_counter = [100]
+    last_loss = [0.0]
+    state_box = {"state": state}
+
+    def window():
+        st = state_box["state"]
+        for _ in range(STEPS):
+            st, loss = step_fn(
+                st, device_batch, jax.random.fold_in(key, step_counter[0]))
+            step_counter[0] += 1
+        state_box["state"] = st
+        last_loss[0] = float(loss)
+
+    dts = timed_windows(window, label)
+    stats = window_stats(dts, scale=1000.0 / STEPS)
+    _log(f"{label}: {stats['n_windows']} windows x {STEPS} steps, "
+         f"median {stats['median']:.1f} ms/step "
+         f"(min {stats['min']:.1f}, max {stats['max']:.1f}; "
+         f"loss={last_loss[0]:.4f})")
+    return state_box["state"], dts
+
+
+def bench_visium_train(jax, smoke=False):
+    """The visium flagship preset's train step with the round-4 pos_remap
+    compaction: spot_dim 685, positional tables at a remapped-dense 4096
+    rows (a representative observed-coordinate count; the un-remapped
+    reference needs 65536 rows for raw pixel coords — ~9.6 ms/step of extra
+    optimizer/layout traffic, PROFILE_r02). Done-criterion for VERDICT r3
+    next #2: this median ~= the her2st headline step."""
+    from mclstexp_tpu.config import Config, DataConfig, EvalConfig, ModelConfig, TrainConfig
+    from mclstexp_tpu.train.state import create_train_state
+
+    spot_dim = 24 if smoke else 685
+    pos_vocab = 64 if smoke else 4096
+    cfg = Config(
+        model=ModelConfig(
+            encoder_name="densenet121", image_dim=1024, spot_dim=spot_dim,
+            dtype="bfloat16", pos_vocab=pos_vocab,
+        ),
+        train=TrainConfig(batch_size=BATCH),
+        eval=EvalConfig(),
+        data=DataConfig(),
+    )
+    rng = np.random.default_rng(5)
+    host_batch = {
+        "image_u8": rng.integers(0, 255, size=(BATCH, IMAGE, IMAGE, 3), dtype=np.uint8),
+        "expression": rng.normal(size=(BATCH, spot_dim)).astype(np.float32),
+        "position": rng.integers(0, pos_vocab, size=(BATCH, 2)).astype(np.int32),
+    }
+    sample = {
+        "image": host_batch["image_u8"][:1].astype(np.float32) / 255.0,
+        "expression": host_batch["expression"][:1],
+        "position": host_batch["position"][:1],
+    }
+    t0 = time.perf_counter()
+    model, state = create_train_state(cfg.model, cfg.train, sample)
+    _log(f"visium init+transfer: {time.perf_counter() - t0:.1f}s")
+    device_batch = {k: jax.device_put(v) for k, v in host_batch.items()}
+    _, dts = time_train_windows(jax, model, state, device_batch, "visium_train")
+    return {
+        "visium_train_ms_per_step": window_stats(dts, scale=1000.0 / STEPS),
+        "visium_pos_vocab": pos_vocab,
+    }
+
+
 def main():
     import os
 
@@ -162,7 +247,6 @@ def main():
 
     from mclstexp_tpu.config import Config, DataConfig, EvalConfig, ModelConfig, TrainConfig
     from mclstexp_tpu.train.state import create_train_state
-    from mclstexp_tpu.train.step import make_train_step
 
     dev = jax.devices()[0]
     _log(f"device: {dev}")
@@ -207,46 +291,18 @@ def main():
     model, state = create_train_state(cfg.model, cfg.train, sample)
     _log(f"init+transfer: {time.perf_counter() - t0:.1f}s")
 
-    step_fn = make_train_step(model, augment_mode="st", donate=True)
-    device_batch = {k: jax.device_put(v) for k, v in host_batch.items()}
-    key = jax.random.PRNGKey(0)
-
-    t0 = time.perf_counter()
-    state, loss = step_fn(state, device_batch, jax.random.fold_in(key, 0))
-    loss.block_until_ready()
-    _log(f"compile: {time.perf_counter() - t0:.1f}s")
-    t0 = time.perf_counter()
-    for i in range(1, WARMUP):
-        state, loss = step_fn(state, device_batch, jax.random.fold_in(key, i))
-    float(loss)  # drain the device queue before the timed region starts
-    _log(f"warmup: {time.perf_counter() - t0:.1f}s")
-
     # --- train-step windows: STEPS chained steps each, ending in a host
     # value readback (a true data dependency on the whole chain). State is
     # carried across windows (donated buffers), and float(loss) drains the
     # queue so windows are independent.
-    step_counter = [100]
-    last_loss = [0.0]
-    state_box = {"state": state}
-
-    def train_window():
-        st = state_box["state"]
-        for _ in range(STEPS):
-            st, loss = step_fn(
-                st, device_batch, jax.random.fold_in(key, step_counter[0]))
-            step_counter[0] += 1
-        state_box["state"] = st
-        last_loss[0] = float(loss)
-
-    train_dts = timed_windows(train_window, "train")
-    state = state_box["state"]
+    device_batch = {k: jax.device_put(v) for k, v in host_batch.items()}
+    state, train_dts = time_train_windows(jax, model, state, device_batch,
+                                          "train")
     train_ms = window_stats(train_dts, scale=1000.0 / STEPS)
     med_dt = statistics.median(train_dts)
     spots_per_sec = BATCH * STEPS / med_dt
-    _log(f"train: {train_ms['n_windows']} windows x {STEPS} steps, "
-         f"median {train_ms['median']:.1f} ms/step "
-         f"(min {train_ms['min']:.1f}, max {train_ms['max']:.1f}; "
-         f"loss={last_loss[0]:.4f})")
+
+    visium = bench_visium_train(jax, smoke=smoke)
 
     if smoke:
         eval_stats = bench_eval_path(jax, model, state, n_eval=64, n_keys=128,
@@ -274,6 +330,7 @@ def main():
                 "ref_baseline_spots_per_sec": round(ref_sps, 2),
                 "ref_baseline_provenance": ref_provenance,
                 "train_ms_per_step": train_ms,
+                **visium,
                 **tunnel,
                 **eval_stats,
                 **streaming,

@@ -52,6 +52,7 @@ def test_domain_clustering(rng):
     assert out["ari"] > 0.9
 
 
+@pytest.mark.slow
 def test_tutorial_example_end_to_end(tmp_path):
     """The worked example (reference tutorial.ipynb as a script) must run
     end to end: train -> dump -> retrieval predict -> gene ranking -> plot

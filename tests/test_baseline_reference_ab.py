@@ -45,9 +45,9 @@ from mclstexp_tpu.baselines.models import BLEEP, Hist2ST, HisToGene, THItoGene
 
 REF = "/root/reference/baselines"
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.isdir(REF), reason="reference checkout not mounted"
-)
+)]
 
 
 def _module_stub(name: str, **attrs) -> types.ModuleType:

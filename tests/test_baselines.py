@@ -257,6 +257,7 @@ def test_bleep_train_fold_with_mesh(rng):
     assert any("loss" in r and np.isfinite(r["loss"]) for r in logger.records)
 
 
+@pytest.mark.slow
 def test_slide_dp_step_mean_of_per_slide_losses(rng):
     """make_slide_dp_step's loss == mean of the sequential per-slide losses
     from the same state and per-slide rngs (the torch-DDP-at-batch-1
@@ -285,6 +286,7 @@ def test_slide_dp_step_mean_of_per_slide_losses(rng):
     np.testing.assert_allclose(float(dp_loss), np.mean(seq_losses), rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_slide_dp_sharded_matches_replicated(rng):
     """Slide-per-device DP over an 8-device mesh == the same vmapped step on
     one device: identical loss and updated params."""
@@ -319,6 +321,7 @@ def test_slide_dp_sharded_matches_replicated(rng):
         )
 
 
+@pytest.mark.slow
 def test_hist2st_train_mode_pad_equivalence(rng):
     """TRAIN-mode padded forward == unpadded on the real rows, including the
     updated BN running stats. BN batch statistics are the only cross-patch
@@ -365,6 +368,7 @@ def test_hist2st_train_mode_pad_equivalence(rng):
         )
 
 
+@pytest.mark.slow
 def test_thitogene_train_mode_pad_equivalence(rng):
     """Same train-mode pad exactness for THItoGene's ODConv/CapsNet BNs."""
     n, g, pad = 5, 8, 3
@@ -399,6 +403,7 @@ def test_thitogene_train_mode_pad_equivalence(rng):
         )
 
 
+@pytest.mark.slow
 def test_hist2st_dp_step_with_bake_and_coef(rng):
     """The vmapped slide-DP step composes with Hist2ST's full aux losses —
     ZINB heads AND the bake distillation with its learned coef softmax
@@ -429,6 +434,7 @@ def test_hist2st_dp_step_with_bake_and_coef(rng):
     np.testing.assert_allclose(float(dp_loss), np.mean(seq_losses), rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_slide_dp_train_fold(rng):
     """train_baseline_fold(mesh=...) drives the slide-DP path end-to-end,
     including an uneven final chunk (3 train slides over an 8-wide mesh)."""
@@ -466,6 +472,7 @@ def test_bleep_forward_and_step(rng):
 # ---------------------------------------------------------------- trainer --
 
 
+@pytest.mark.slow
 def test_histogene_training_learns(tmp_path):
     sections = synthetic.make_dataset(num_sections=3, num_spots=24, num_genes=12,
                                       patch_size=16, seed=3)
@@ -537,6 +544,7 @@ def test_family_protocol_defaults():
     assert np.isclose(mags[100], 0.9e-5, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_hist2st_training_learns():
     sections = synthetic.make_dataset(num_sections=3, num_spots=16, num_genes=8,
                                       patch_size=14, seed=7)
@@ -551,6 +559,7 @@ def test_hist2st_training_learns():
     assert after["mse"] < before["mse"]
 
 
+@pytest.mark.slow
 def test_thitogene_training_learns():
     # THItoGene's ODConv+capsnet stack needs the reference patch size (112px,
     # THItoGene/dataset.py fig_size); smaller patches collapse to 0 spatial.
@@ -582,6 +591,7 @@ def test_bleep_training_learns():
     assert np.all(np.isfinite(img)) and np.all(np.isfinite(spot))
 
 
+@pytest.mark.slow
 def test_hist2st_training_step_with_zinb_and_bake():
     """One Hist2ST slide step incl. ZINB aux loss and bake distillation."""
     from mclstexp_tpu.baselines.trainer import init_baseline, make_slide_step

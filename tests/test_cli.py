@@ -9,8 +9,11 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from mclstexp_tpu.cli.main import main
+
+pytestmark = pytest.mark.slow
 
 
 def _flags(tmp_path, extra):

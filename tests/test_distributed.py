@@ -14,6 +14,9 @@ import sys
 
 import pytest
 
+
+pytestmark = pytest.mark.slow
+
 _WORKER = r"""
 import os, sys
 os.environ["JAX_PLATFORMS"] = "cpu"

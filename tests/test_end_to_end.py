@@ -20,6 +20,9 @@ from mclstexp_tpu.train.loop import train_fold
 from mclstexp_tpu.utils.logging import MetricLogger
 
 
+
+pytestmark = pytest.mark.slow
+
 def _cfg(tmp_path, epochs=12):
     return Config(
         model=ModelConfig(

@@ -104,6 +104,7 @@ def test_eval_from_embeddings_cli(tmp_path):
     assert results["avg"]["hvg_pcc"] > 0.3
 
 
+@pytest.mark.slow
 def test_eval_torch_checkpoint_cli(tmp_path):
     """A reference-format full-model .pt (densenet tower + spot side) is
     scored by the CLI without retraining (evel_her2st.py:32-39 load path)."""

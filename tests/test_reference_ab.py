@@ -41,6 +41,9 @@ from mclstexp_tpu.models.mclstexp import MclSTExp
 from mclstexp_tpu.train.state import TrainState, torch_adam
 from mclstexp_tpu.train.step import make_train_step
 
+
+pytestmark = pytest.mark.slow
+
 REFERENCE_MODEL = "/root/reference/model.py"
 
 

@@ -57,9 +57,9 @@ from PIL import Image  # noqa: E402
 
 REFERENCE_DATASET = "/root/reference/dataset.py"
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.exists(REFERENCE_DATASET), reason="reference checkout not mounted"
-)
+)]
 
 
 # ------------------------------------------------------------------- stubs --

@@ -42,6 +42,9 @@ import sys
 import numpy as np
 import pytest
 
+
+pytestmark = pytest.mark.slow
+
 REFERENCE_DIR = "/root/reference"
 
 

@@ -92,6 +92,7 @@ def _eval_batch(rng, n, g, patch):
     return tb, jb
 
 
+@pytest.mark.slow
 def test_reference_strict_loads_export_attention(patched, tmp_path):
     """Our random init -> export -> strict torch load -> same eval loss;
     plus a .pt file roundtrip through the reference's on-disk format."""
