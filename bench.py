@@ -66,9 +66,16 @@ def _log(msg: str) -> None:
 def timed_windows(run_once, label: str, n_windows: int = N_WINDOWS,
                   max_windows: int = MAX_WINDOWS) -> list:
     """Time `run_once` (must END in a host value readback) over independent
-    windows. Runs `n_windows`, then keeps adding windows (up to
-    `max_windows`) while the relative spread (max-min)/median exceeds
-    SPREAD_TOL. Returns per-window durations in seconds."""
+    windows. One UNTIMED shakeout window runs first: even after the step
+    warmup, the first full window after a compile reliably measures high on
+    this transport (r04 canonical run: 89.0 ms/step vs 60.8-62.5 for
+    windows 2-5 — dispatch-queue/allocator warm effects, not the program).
+    Then runs `n_windows`, and keeps adding windows (up to `max_windows`)
+    while the relative spread (max-min)/median exceeds SPREAD_TOL. Returns
+    per-window durations in seconds."""
+    t0 = time.perf_counter()
+    run_once()
+    _log(f"{label} shakeout window: {time.perf_counter() - t0:.3f}s (untimed)")
     dts = []
     while True:
         t0 = time.perf_counter()
@@ -103,15 +110,25 @@ def window_stats(dts: list, scale: float = 1.0) -> dict:
 def probe_tunnel(jax) -> dict:
     """Round-trip a fixed 8 MB buffer host->device->host and report MB/s
     each way. A slow probe indicts the session/tunnel, not the programs
-    (the r03 driver anomaly: init+transfer 31 s vs 9.1 s in r02)."""
+    (the r03 driver anomaly: init+transfer 31 s vs 9.1 s in r02).
+
+    The put leg ends in a host VALUE readback of a reduction over the
+    buffer (4 bytes back), not block_until_ready — the project-wide timing
+    rule applies here too: on this transport block_until_ready can resolve
+    before the device actually holds the data, which would inflate the put
+    figure and bleed the remainder into the get leg."""
+    import jax.numpy as jnp
+
     mb = 8
     buf = np.ones((mb * 1024 * 1024 // 4,), np.float32)
-    # warm (allocator + any lazy connection setup)
+    checksum = jax.jit(jnp.sum)
+    # warm (allocator, lazy connection setup, and the checksum compile)
     x = jax.device_put(buf)
+    float(checksum(x))
     np.asarray(x)
     t0 = time.perf_counter()
     x = jax.device_put(buf)
-    x.block_until_ready()
+    float(checksum(x))  # value readback: forces the full buffer on-device
     put_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     np.asarray(x)
@@ -135,6 +152,49 @@ def measure_ref_baseline() -> tuple:
     except Exception as e:  # pragma: no cover
         print(f"reference input-pipeline measurement failed: {e}", file=sys.stderr)
         return REF_SPOTS_PER_SEC_FALLBACK, "engineering_estimate"
+
+
+def setup_flagship(jax, spot_dim, pos_vocab, seed, label,
+                   dense_impl="piecewise8", pos_range=None):
+    """One flagship preset's config + host batch + jitted on-device init.
+
+    Shared by the her2st headline and the visium entry so the init-timing
+    pattern and batch schema can't drift between them. `pos_range` bounds
+    the random coordinates (defaults to pos_vocab; the her2st preset draws
+    from the ST-array range 0..63)."""
+    from mclstexp_tpu.config import Config, DataConfig, EvalConfig, ModelConfig, TrainConfig
+    from mclstexp_tpu.train.state import create_train_state
+
+    cfg = Config(
+        model=ModelConfig(
+            encoder_name="densenet121", image_dim=1024, spot_dim=spot_dim,
+            dtype="bfloat16", dense_block_impl=dense_impl, pos_vocab=pos_vocab,
+        ),
+        train=TrainConfig(batch_size=BATCH),
+        eval=EvalConfig(),
+        data=DataConfig(),
+    )
+    rng = np.random.default_rng(seed)
+    pos_range = pos_vocab if pos_range is None else pos_range
+    host_batch = {
+        "image_u8": rng.integers(0, 255, size=(BATCH, IMAGE, IMAGE, 3), dtype=np.uint8),
+        "expression": rng.normal(size=(BATCH, spot_dim)).astype(np.float32),
+        "position": rng.integers(0, pos_range, size=(BATCH, 2)).astype(np.int32),
+    }
+    # Param shapes don't depend on batch size: init with a single sample.
+    # create_train_state runs one jitted on-device init program (unjitted
+    # init and host-init-then-transfer are both pathological over the
+    # remote-TPU tunnel; see train/state.py).
+    sample = {
+        "image": host_batch["image_u8"][:1].astype(np.float32) / 255.0,
+        "expression": host_batch["expression"][:1],
+        "position": host_batch["position"][:1],
+    }
+    t0 = time.perf_counter()
+    model, state = create_train_state(cfg.model, cfg.train, sample)
+    _log(f"{label} init+transfer: {time.perf_counter() - t0:.1f}s")
+    device_batch = {k: jax.device_put(v) for k, v in host_batch.items()}
+    return model, state, device_batch
 
 
 def time_train_windows(jax, model, state, device_batch, label):
@@ -184,35 +244,10 @@ def bench_visium_train(jax, smoke=False):
     reference needs 65536 rows for raw pixel coords — ~9.6 ms/step of extra
     optimizer/layout traffic, PROFILE_r02). Done-criterion for VERDICT r3
     next #2: this median ~= the her2st headline step."""
-    from mclstexp_tpu.config import Config, DataConfig, EvalConfig, ModelConfig, TrainConfig
-    from mclstexp_tpu.train.state import create_train_state
-
     spot_dim = 24 if smoke else 685
     pos_vocab = 64 if smoke else 4096
-    cfg = Config(
-        model=ModelConfig(
-            encoder_name="densenet121", image_dim=1024, spot_dim=spot_dim,
-            dtype="bfloat16", pos_vocab=pos_vocab,
-        ),
-        train=TrainConfig(batch_size=BATCH),
-        eval=EvalConfig(),
-        data=DataConfig(),
-    )
-    rng = np.random.default_rng(5)
-    host_batch = {
-        "image_u8": rng.integers(0, 255, size=(BATCH, IMAGE, IMAGE, 3), dtype=np.uint8),
-        "expression": rng.normal(size=(BATCH, spot_dim)).astype(np.float32),
-        "position": rng.integers(0, pos_vocab, size=(BATCH, 2)).astype(np.int32),
-    }
-    sample = {
-        "image": host_batch["image_u8"][:1].astype(np.float32) / 255.0,
-        "expression": host_batch["expression"][:1],
-        "position": host_batch["position"][:1],
-    }
-    t0 = time.perf_counter()
-    model, state = create_train_state(cfg.model, cfg.train, sample)
-    _log(f"visium init+transfer: {time.perf_counter() - t0:.1f}s")
-    device_batch = {k: jax.device_put(v) for k, v in host_batch.items()}
+    model, state, device_batch = setup_flagship(
+        jax, spot_dim=spot_dim, pos_vocab=pos_vocab, seed=5, label="visium")
     _, dts = time_train_windows(jax, model, state, device_batch, "visium_train")
     return {
         "visium_train_ms_per_step": window_stats(dts, scale=1000.0 / STEPS),
@@ -245,9 +280,6 @@ def main():
     except Exception as e:  # cache is best-effort
         print(f"compilation cache unavailable: {e}", file=sys.stderr)
 
-    from mclstexp_tpu.config import Config, DataConfig, EvalConfig, ModelConfig, TrainConfig
-    from mclstexp_tpu.train.state import create_train_state
-
     dev = jax.devices()[0]
     _log(f"device: {dev}")
     tunnel = probe_tunnel(jax)
@@ -261,41 +293,14 @@ def main():
     # than the reference's 65536-row tables). Override to A/B:
     #   MCLSTEXP_BENCH_POS_VOCAB=65536 python bench.py
     pos_vocab = int(os.environ.get("MCLSTEXP_BENCH_POS_VOCAB", "1024"))
-    cfg = Config(
-        model=ModelConfig(
-            encoder_name="densenet121", image_dim=1024, spot_dim=SPOT_DIM,
-            dtype="bfloat16", dense_block_impl=dense_impl, pos_vocab=pos_vocab,
-        ),
-        train=TrainConfig(batch_size=BATCH),
-        eval=EvalConfig(),
-        data=DataConfig(),
-    )
-
-    rng = np.random.default_rng(0)
-    host_batch = {
-        "image_u8": rng.integers(0, 255, size=(BATCH, IMAGE, IMAGE, 3), dtype=np.uint8),
-        "expression": rng.normal(size=(BATCH, SPOT_DIM)).astype(np.float32),
-        "position": rng.integers(0, 64, size=(BATCH, 2)).astype(np.int32),
-    }
-    # Param shapes don't depend on batch size: init with a single sample.
-    sample = {
-        "image": host_batch["image_u8"][:1].astype(np.float32) / 255.0,
-        "expression": host_batch["expression"][:1],
-        "position": host_batch["position"][:1],
-    }
-
-    # create_train_state runs one jitted on-device init program (unjitted
-    # init and host-init-then-transfer are both pathological over the
-    # remote-TPU tunnel; see train/state.py).
-    t0 = time.perf_counter()
-    model, state = create_train_state(cfg.model, cfg.train, sample)
-    _log(f"init+transfer: {time.perf_counter() - t0:.1f}s")
+    model, state, device_batch = setup_flagship(
+        jax, spot_dim=SPOT_DIM, pos_vocab=pos_vocab, seed=0, label="train",
+        dense_impl=dense_impl, pos_range=64)
 
     # --- train-step windows: STEPS chained steps each, ending in a host
     # value readback (a true data dependency on the whole chain). State is
     # carried across windows (donated buffers), and float(loss) drains the
     # queue so windows are independent.
-    device_batch = {k: jax.device_put(v) for k, v in host_batch.items()}
     state, train_dts = time_train_windows(jax, model, state, device_batch,
                                           "train")
     train_ms = window_stats(train_dts, scale=1000.0 / STEPS)

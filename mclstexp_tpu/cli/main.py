@@ -76,6 +76,11 @@ def _add_data_flags(p: argparse.ArgumentParser):
     p.add_argument("--patch-cache", type=str, default="patch_cache")
     p.add_argument("--patch-size", type=int, default=224,
                    help="224 for the contrastive model; 112 for the slide baselines")
+    p.add_argument("--no-pos-remap", action="store_true",
+                   help="disable the dense coordinate remap even where the "
+                        "preset enables it (visium) — needed to load "
+                        "checkpoints trained with the reference's full "
+                        "65536-row positional tables")
     p.add_argument("--checkpoint-dir", type=str, default="model_result")
 
 
@@ -114,6 +119,8 @@ def _build_config(args) -> "Config":
         preprocessed_root=getattr(args, "preprocessed_root", cfg.data.preprocessed_root),
         patch_cache_dir=args.patch_cache,
         patch_size=getattr(args, "patch_size", cfg.data.patch_size),
+        pos_remap=(cfg.data.pos_remap
+                   and not getattr(args, "no_pos_remap", False)),
     )
     return dataclasses.replace(cfg, model=model, train=train, data=data)
 
@@ -168,7 +175,7 @@ def _load_sections(cfg, with_patches: bool = True):
     return load()
 
 
-def _maybe_remap(cfg, sections):
+def _maybe_remap(cfg, sections, prefer_saved: bool = False):
     """Apply the dense coordinate remap when the preset asks for it.
 
     Visium feeds RAW PIXEL coords to the positional tables (reference
@@ -176,13 +183,27 @@ def _maybe_remap(cfg, sections):
     ``model.py:204-205``); ``DataConfig.pos_remap`` rewrites them to dense
     row ids over the observed values and shrinks ``ModelConfig.pos_vocab``
     to match — exact per-coordinate semantics (data/posremap.py). Returns
-    (cfg, sections, remap-or-None); built over ALL sections so train and
-    eval derive the identical mapping."""
+    (cfg, sections, remap-or-None).
+
+    ``prefer_saved``: checkpoint-consuming commands (eval/predict/serve,
+    and train --resume) load the ``pos_remap.npz`` persisted at train time
+    when it exists — the mapping DEFINES the checkpoint's table row
+    assignment, and rebuilding it from the currently loaded sections would
+    silently permute every row if the on-disk dataset drifted (a section
+    added/removed can keep the 128-aligned vocab identical while shifting
+    the searchsorted ids). Coordinates the saved remap never observed
+    raise in ``apply`` instead of aliasing a trained row. Fresh training
+    builds the mapping over ALL loaded sections and persists it."""
     if not cfg.data.pos_remap:
         return cfg, sections, None
     from mclstexp_tpu.data.posremap import PosRemap
 
-    remap = PosRemap.build(sections)
+    saved = os.path.join(cfg.train.checkpoint_dir, cfg.data.dataset,
+                         "pos_remap.npz")
+    if prefer_saved and os.path.exists(saved):
+        remap = PosRemap.load(saved)
+    else:
+        remap = PosRemap.build(sections)
     sections = remap.apply_sections(sections)
     cfg = dataclasses.replace(
         cfg, model=dataclasses.replace(cfg.model, pos_vocab=remap.vocab)
@@ -268,10 +289,12 @@ def cmd_train(args) -> int:
     from mclstexp_tpu.utils.logging import MetricLogger
 
     sections = _load_sections(cfg)
-    cfg, sections, remap = _maybe_remap(cfg, sections)
+    cfg, sections, remap = _maybe_remap(
+        cfg, sections, prefer_saved=getattr(args, "resume", False))
     if remap is not None:
-        # persisted for interop tools that run without the dataset on disk
-        # (export-torch); train/eval themselves rebuild it deterministically.
+        # Persisted as the authoritative row assignment: eval/predict/serve
+        # and export-torch load THIS file rather than rebuilding from the
+        # (possibly drifted) dataset — see _maybe_remap.
         d = os.path.join(cfg.train.checkpoint_dir, cfg.data.dataset)
         os.makedirs(d, exist_ok=True)
         remap.save(os.path.join(d, "pos_remap.npz"))
@@ -365,7 +388,7 @@ def cmd_eval(args) -> int:
         return 0
 
     sections = _load_sections(cfg)
-    cfg, sections, remap = _maybe_remap(cfg, sections)
+    cfg, sections, remap = _maybe_remap(cfg, sections, prefer_saved=True)
     from mclstexp_tpu.train.loop import check_positions_in_vocab
 
     check_positions_in_vocab(sections, cfg.model.pos_vocab)
@@ -461,7 +484,7 @@ def cmd_predict(args) -> int:
     from mclstexp_tpu.train.state import create_train_state
 
     sections = _load_sections(cfg)
-    cfg, sections, _ = _maybe_remap(cfg, sections)
+    cfg, sections, _ = _maybe_remap(cfg, sections, prefer_saved=True)
     fold = args.fold
     data = ConcatSections.from_sections(sections[:1])
     b = data.take(np.arange(8))
@@ -520,7 +543,7 @@ def cmd_serve(args) -> int:
     # The database is spot-tower only; query patches arrive over HTTP, so
     # the (multi-GB at her2st scale) patch caches never load or upload.
     sections = _load_sections(cfg, with_patches=False)
-    cfg, sections, _ = _maybe_remap(cfg, sections)
+    cfg, sections, _ = _maybe_remap(cfg, sections, prefer_saved=True)
     ps = cfg.data.patch_size
     sample = {
         "image": np.zeros((1, ps, ps, 3), np.float32),
@@ -699,6 +722,18 @@ def _baseline_super_resolution(args, cfg, bcfg, model, state, sections) -> dict:
     return {"path": out, "grid_spots": int(len(centers))}
 
 
+def _find_saved_remap(checkpoint_path: str) -> Optional[str]:
+    """Walk up from a fold checkpoint dir (…/<dataset>/<section>/best_<fold>)
+    looking for the pos_remap.npz `train` persisted at …/<dataset>/."""
+    d = os.path.abspath(checkpoint_path)
+    for _ in range(4):
+        cand = os.path.join(d, "pos_remap.npz")
+        if os.path.exists(cand):
+            return cand
+        d = os.path.dirname(d)
+    return None
+
+
 def cmd_export_torch(args) -> int:
     """Export an Orbax checkpoint to the reference's torch .pt layout.
 
@@ -720,6 +755,28 @@ def cmd_export_torch(args) -> int:
         from mclstexp_tpu.data.posremap import PosRemap
 
         remap = PosRemap.load(args.pos_remap)
+    elif cfg.data.pos_remap:
+        # A pos_remap-trained checkpoint (the visium preset default) holds
+        # compact DENSE-ROW tables; exporting them without the remap would
+        # place those rows at raw-coordinate positions 0..vocab-1 — a .pt
+        # that loads cleanly into the reference but reads zeros for every
+        # real pixel coordinate. Find the pos_remap.npz `train` persisted
+        # next to the checkpoint tree, or refuse.
+        from mclstexp_tpu.data.posremap import PosRemap
+
+        cand = _find_saved_remap(args.checkpoint)
+        if cand is not None:
+            remap = PosRemap.load(cand)
+            print(f"using coordinate remap: {cand}")
+        else:
+            raise SystemExit(
+                "this preset trains with pos_remap (compact dense-row "
+                "positional tables); exporting without the mapping would "
+                "write a silently-corrupt reference .pt. Pass --pos-remap "
+                "<pos_remap.npz> (written by `train` under "
+                "<checkpoint-dir>/<dataset>/), or --no-pos-remap if the "
+                "checkpoint was trained with full 65536-row tables."
+            )
     restored = ckpt.restore_checkpoint(args.checkpoint)
     path = save_reference_checkpoint(
         args.out,

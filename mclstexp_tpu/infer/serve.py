@@ -126,6 +126,8 @@ class PredictionService:
             n_active = int(np.asarray(self.key_mask).sum())
             if n_active == 0:
                 raise ValueError("key_mask deactivates every database row")
+        self.n_active = n_active  # computed once; info() reuses it (a
+        # device readback per /healthz would serialize against predict work)
         # K can't exceed the retrievable database (reference K=200 assumes
         # >=200 keys).
         self.top_k = min(top_k, n_active)
@@ -175,17 +177,19 @@ class PredictionService:
         loaded ``with_patches=False`` work."""
         from mclstexp_tpu.infer import embed
 
+        if exclude_section is not None and not 0 <= exclude_section < len(sections):
+            # validate BEFORE the sweep — the B=32 spot sweep is minutes over
+            # the remote-TPU tunnel at her2st scale
+            raise ValueError(
+                f"exclude_section {exclude_section} out of range for "
+                f"{len(sections)} sections"
+            )
         _, spot = embed.compute_embeddings(
             model, params, batch_stats, sections, batch_size,
             as_device=True, tower="spot",
         )
         expr = np.concatenate([s.expression for s in sections], axis=0)
         if exclude_section is not None:
-            if not 0 <= exclude_section < len(sections):
-                raise ValueError(
-                    f"exclude_section {exclude_section} out of range for "
-                    f"{len(sections)} sections"
-                )
             sizes = [s.expression.shape[0] for s in sections]
             mask = np.ones(sum(sizes), bool)
             start = sum(sizes[:exclude_section])
@@ -249,12 +253,10 @@ class PredictionService:
         return pred
 
     def info(self) -> dict:
-        n_active = self.num_keys if self.key_mask is None else int(
-            np.asarray(self.key_mask).sum())
         return {
             "status": "ok",
             "num_keys": self.num_keys,
-            "num_active_keys": n_active,
+            "num_active_keys": self.n_active,
             "num_genes": self.num_genes,
             "top_k": self.top_k,
             "weight_ord": self.weight_ord,

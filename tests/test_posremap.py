@@ -237,3 +237,83 @@ def test_reference_tables_remap_bit_equality(rng):
             method=MclSTExp.encode_spots,
         ))
     np.testing.assert_array_equal(outs[full_vocab], outs[remap.vocab])
+
+
+# --------------------------------------------------- CLI remap plumbing --
+
+
+def test_cli_maybe_remap_prefers_saved(tmp_path, rng):
+    """Checkpoint-consuming commands load the pos_remap.npz persisted at
+    train time: the mapping DEFINES the checkpoint's table rows, and a
+    rebuild over drifted sections would silently permute them (round-4
+    review finding). Without prefer_saved (fresh training) the mapping is
+    rebuilt from the loaded sections."""
+    from mclstexp_tpu.cli.main import _maybe_remap
+    from mclstexp_tpu.config import get_config
+
+    secs = _sections(rng)
+    cfg = get_config("visium")  # the pos_remap=True preset
+    assert cfg.data.pos_remap
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, checkpoint_dir=str(tmp_path))
+    )
+
+    # the persisted remap was built over a superset of coordinates (the
+    # drift scenario: a section present at train time is missing now)
+    saved = PosRemap.build(secs + _sections(rng, n=1))
+    d = tmp_path / cfg.data.dataset
+    d.mkdir()
+    saved.save(str(d / "pos_remap.npz"))
+    fresh = PosRemap.build(secs)
+    assert not np.array_equal(fresh.x_values, saved.x_values)
+
+    cfg2, remapped, remap = _maybe_remap(cfg, secs, prefer_saved=True)
+    np.testing.assert_array_equal(remap.x_values, saved.x_values)
+    assert cfg2.model.pos_vocab == saved.vocab
+    # row ids follow the SAVED mapping exactly
+    np.testing.assert_array_equal(
+        saved.x_values[remapped[0].positions[:, 0]], secs[0].positions[:, 0]
+    )
+
+    _, _, remap_train = _maybe_remap(cfg, secs, prefer_saved=False)
+    np.testing.assert_array_equal(remap_train.x_values, fresh.x_values)
+
+
+def test_find_saved_remap(tmp_path):
+    from mclstexp_tpu.cli.main import _find_saved_remap
+
+    ck = tmp_path / "visium" / "S1" / "best_0"
+    ck.mkdir(parents=True)
+    assert _find_saved_remap(str(ck)) is None
+    p = tmp_path / "visium" / "pos_remap.npz"
+    p.write_bytes(b"")
+    assert _find_saved_remap(str(ck)) == str(p)
+
+
+def test_export_torch_refuses_without_remap(tmp_path):
+    """Exporting a pos_remap-preset checkpoint without the mapping would
+    write compact dense-row tables at raw-coordinate positions — a .pt that
+    loads cleanly into the reference but is silently corrupt. The CLI must
+    refuse unless the persisted npz is found or --pos-remap/--no-pos-remap
+    is given (round-4 review finding)."""
+    from mclstexp_tpu.cli.main import main as cli_main
+
+    ck = tmp_path / "model_result" / "visium" / "S1" / "best_0"
+    ck.mkdir(parents=True)
+    with pytest.raises(SystemExit, match="pos_remap"):
+        cli_main(["export-torch", "--dataset", "visium",
+                  "--checkpoint", str(ck), "--out", str(tmp_path / "m.pt")])
+
+
+def test_export_torch_no_pos_remap_flag_skips_guard(tmp_path):
+    """--no-pos-remap (full 65536-row checkpoint) must bypass the refusal;
+    the failure then comes from the (empty) checkpoint itself."""
+    from mclstexp_tpu.cli.main import main as cli_main
+
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    with pytest.raises(Exception) as ei:
+        cli_main(["export-torch", "--dataset", "visium", "--no-pos-remap",
+                  "--checkpoint", str(ck), "--out", str(tmp_path / "m.pt")])
+    assert not (isinstance(ei.value, SystemExit)
+                and "pos_remap" in str(ei.value))
