@@ -283,3 +283,47 @@ def test_her2st_phase_b_protocol_ab(tmp_path, monkeypatch):
     ours = _run_our_cli("her2st", dumps, pre, tmp_path)
     assert ours["folds"] == list(range(32))
     _assert_match(ref_avg, ours)
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_DIR),
+                    reason="reference checkout not mounted")
+def test_visium_phase_b_protocol_ab(tmp_path, monkeypatch):
+    """evel_visium.py's 9-fold loop (K=200, L2 1/d^2 weights,
+    evel_visium.py:193-205, gene list from the 1000hvg_common.pkl pandas
+    Index, :221-222) vs `cli eval --from-embeddings --dataset visium`.
+    Completes the protocol-A/B trio: all three reference eval scripts now
+    execute against the rebuild. Phase B reads only RELATIVE paths
+    (./data/…, ./embedding_result/10x_result/…), so chdir into the
+    synthetic tree is the whole path patch."""
+    pd = pytest.importorskip("pandas")
+    import pickle as _pickle
+
+    rng = np.random.default_rng(17)
+    names = ["1142243F", "CID4290", "CID4465", "CID44971", "CID4535",
+             "1160920F", "block1", "block2", "FFPE"]  # evel_visium.py:140-142
+    # rest-of-keys per fold >= K=200; sizes avoid the auto-transpose
+    # sentinels (256 and n_genes)
+    sizes = [48, 52, 61, 62, 57, 49, 38, 40, 45]
+    exprs, spots, imgs = _make_dataset(rng, sizes, n_genes=65)
+
+    dumps = _write_reference_tree(str(tmp_path), "Alex_10x_hvg", "10x_result",
+                                  names, exprs, spots, imgs)
+    d = tmp_path / "data"
+    with open(d / "1000hvg_common.pkl", "wb") as f:
+        _pickle.dump(pd.Index([f"g{i}" for i in range(65)]), f)
+
+    monkeypatch.chdir(tmp_path)
+    stdout = _run_reference_script(
+        os.path.join(REFERENCE_DIR, "evel_visium.py"),
+        patches=[
+            ("from model import mclSTExp_Attention", ""),
+            ("from dataset import TenxDataset", ""),
+            ("from train import generate_args", ""),
+        ],
+    )
+    ref_avg = _parse_averages(stdout)
+
+    pre = _write_our_preprocessed(str(tmp_path), "visium", names, exprs)
+    ours = _run_our_cli("visium", dumps, pre, tmp_path)
+    assert ours["folds"] == list(range(9))
+    _assert_match(ref_avg, ours)
