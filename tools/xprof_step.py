@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--impl", type=str, default="piecewise8")  # shipping default
     ap.add_argument("--pos-vocab", type=int, default=1024)
+    ap.add_argument("--spot-dim", type=int, default=785,
+                    help="785 her2st (default) / 685 visium / 171 cscc")
+    ap.add_argument("--pos-range", type=int, default=64,
+                    help="coordinate draw range; set to pos_vocab to "
+                         "exercise a remapped-dense visium table")
     ap.add_argument("--trace-dir", type=str, default="/tmp/xprof_step_trace")
     ap.add_argument("--out", type=str, default="")
     args = ap.parse_args()
@@ -43,7 +48,7 @@ def main():
     from mclstexp_tpu.train.state import create_train_state
     from mclstexp_tpu.train.step import make_train_step
 
-    B, IMG, G = args.batch, 224, 785
+    B, IMG, G = args.batch, 224, args.spot_dim
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     cfg_m = ModelConfig(
         encoder_name="densenet121", image_dim=ENCODER_DIMS["densenet121"],
@@ -54,7 +59,7 @@ def main():
     host = {
         "image_u8": rng.integers(0, 255, size=(B, IMG, IMG, 3), dtype=np.uint8),
         "expression": rng.normal(size=(B, G)).astype(np.float32),
-        "position": rng.integers(0, 64, size=(B, 2)).astype(np.int32),
+        "position": rng.integers(0, args.pos_range, size=(B, 2)).astype(np.int32),
     }
     sample = {
         "image": host["image_u8"][:1].astype(np.float32) / 255.0,
