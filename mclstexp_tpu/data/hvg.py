@@ -64,7 +64,14 @@ def seurat_dispersion(log_data: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 def highly_variable_genes(log_data: np.ndarray, n_top_genes: int = 1000) -> np.ndarray:
     """Boolean mask of the top-N genes by normalized dispersion."""
     _, disp_norm = seurat_dispersion(log_data)
-    n_top_genes = min(n_top_genes, log_data.shape[1])
+    return hvg_mask_from_dispersion(disp_norm, n_top_genes)
+
+
+def hvg_mask_from_dispersion(disp_norm: np.ndarray, n_top_genes: int) -> np.ndarray:
+    """Top-N mask from a precomputed normalized dispersion (lets callers
+    that also need disp_norm itself run the expensive full-matrix
+    seurat_dispersion pass once, e.g. data/panel.select_panel)."""
+    n_top_genes = min(n_top_genes, disp_norm.shape[0])
     cutoff = np.sort(disp_norm)[::-1][n_top_genes - 1]
     mask = disp_norm >= cutoff
     # break ties deterministically if > n_top_genes pass the cutoff

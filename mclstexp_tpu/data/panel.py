@@ -31,7 +31,11 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-from mclstexp_tpu.data.hvg import highly_variable_genes, hvg_union_intersection, seurat_dispersion
+from mclstexp_tpu.data.hvg import (
+    hvg_mask_from_dispersion,
+    hvg_union_intersection,
+    seurat_dispersion,
+)
 from mclstexp_tpu.data.normalize import log1p, normalize_total
 
 
@@ -89,8 +93,10 @@ def select_panel(
     for f, idx in zip(frames, idx_per_frame):
         counts = np.asarray(f.counts, dtype=np.float64)[:, idx]
         logged = log1p(normalize_total(counts))
-        masks.append(highly_variable_genes(logged, n_top_genes))
+        # one full-matrix dispersion pass per section feeds both the
+        # selection mask and the ranking signal
         _, disp_norm = seurat_dispersion(logged)
+        masks.append(hvg_mask_from_dispersion(disp_norm, n_top_genes))
         disps.append(disp_norm)
     masks = np.asarray(masks)
     union, intersection = hvg_union_intersection(masks)
@@ -155,11 +161,13 @@ def save_panel_artifacts(sel: PanelSelection, out_dir: str, dataset: str) -> str
 def her2st_count_frames(root: str) -> List[CountFrame]:
     """Full (pre-panel) count tables, reference protocol section order
     (``hvg_her2st.py:77-84``: sorted(ST-cnts)[1:33])."""
-    from mclstexp_tpu.data.st_dataset import _read_tsv, her2st_section_names
+    from mclstexp_tpu.data.st_dataset import (
+        _read_tsv, her2st_cnt_path, her2st_section_names,
+    )
 
     out = []
     for name in her2st_section_names(root):
-        cnt = _read_tsv(os.path.join(root, "ST-cnts", f"{name}.tsv"), index_col=0)
+        cnt = _read_tsv(her2st_cnt_path(root, name), index_col=0)
         out.append(
             CountFrame(name, [str(g) for g in cnt.columns], cnt.values.astype(np.float32))
         )
@@ -169,14 +177,13 @@ def her2st_count_frames(root: str) -> List[CountFrame]:
 def cscc_count_frames(root: str) -> List[CountFrame]:
     """cSCC count tables (``hvg_cscc.py``'s metainfo flow maps onto the same
     stdata TSVs the dataset reader uses)."""
-    import glob as _glob
-
-    from mclstexp_tpu.data.st_dataset import _read_tsv, cscc_section_names
+    from mclstexp_tpu.data.st_dataset import (
+        _read_tsv, cscc_cnt_path, cscc_section_names,
+    )
 
     out = []
     for name in cscc_section_names():
-        cnt_path = _glob.glob(os.path.join(root, f"*{name}_stdata.tsv"))[0]
-        cnt = _read_tsv(cnt_path, index_col=0)
+        cnt = _read_tsv(cscc_cnt_path(root, name), index_col=0)
         out.append(
             CountFrame(name, [str(g) for g in cnt.columns], cnt.values.astype(np.float32))
         )

@@ -189,6 +189,10 @@ def prefetch_to_device(
     _END = object()
 
     def producer():
+        # Producer failures (device_put OOM, tunnel transport errors, I/O
+        # errors slicing the patch cache) are shipped to the consumer and
+        # re-raised there — a bare end-of-queue would silently truncate the
+        # epoch and train on partial data with no error anywhere.
         try:
             for batch in iterator:
                 if mesh is not None:
@@ -196,7 +200,9 @@ def prefetch_to_device(
                 else:
                     device_batch = {k: jax.device_put(v) for k, v in batch.items()}
                 q.put(device_batch)
-        finally:
+        except BaseException as e:  # noqa: BLE001 — transported, not handled
+            q.put(e)
+        else:
             q.put(_END)
 
     t = threading.Thread(target=producer, daemon=True)
@@ -205,6 +211,8 @@ def prefetch_to_device(
         item = q.get()
         if item is _END:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 

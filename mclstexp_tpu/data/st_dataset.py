@@ -88,7 +88,11 @@ def _section_from_meta(
         cache_path = os.path.join(cache_dir, f"{name}.npy")
         if os.path.exists(cache_path):
             patches = np.load(cache_path, mmap_mode="r")
-        elif slide_path is not None:
+            # a cache cut at a different patch size is a MISS, not a hit —
+            # loading it silently would train on wrong-size patches
+            if patches.shape[1:3] != (patch_size, patch_size):
+                patches = None
+        if patches is None and slide_path is not None:
             os.makedirs(cache_dir, exist_ok=True)
             slide = _load_slide(slide_path)
             patches = extract_patches_np(slide, centers, patch_size)
@@ -114,8 +118,31 @@ def _section_from_meta(
 def her2st_section_names(root: str) -> List[str]:
     names = sorted(os.listdir(os.path.join(root, "ST-cnts")))
     names = [n.split(".")[0][:2] for n in names]
-    # the reference protocol uses sections [1:33] of the sorted listing
-    return names[1:33] if len(names) > 33 else names
+    # The reference protocol slices sections [1:33] of the sorted listing
+    # unconditionally (dataset.py:155-161; the full checkout lists 36).
+    # Apply it whenever the listing is large enough for the slice to mean
+    # what the protocol means; smaller (synthetic/test) trees keep all
+    # sections — a documented accommodation, not reference behavior.
+    return names[1:33] if len(names) >= 33 else names
+
+
+def her2st_cnt_path(root: str, name: str) -> str:
+    """Counts TSV path; almaan/her2st (cli fetch her2st) ships them
+    gzipped, so fall back to .tsv.gz."""
+    path = os.path.join(root, "ST-cnts", f"{name}.tsv")
+    return path if os.path.exists(path) else path + ".gz"
+
+
+def cscc_cnt_path(root: str, name: str) -> str:
+    """stdata TSV via glob; GEO's GSE144240_RAW archive (cli fetch cscc)
+    ships these gzipped."""
+    return (glob.glob(os.path.join(root, f"*{name}_stdata.tsv"))
+            or glob.glob(os.path.join(root, f"*{name}_stdata.tsv.gz")))[0]
+
+
+def cscc_pos_path(root: str, name: str) -> str:
+    return (glob.glob(os.path.join(root, f"*spot*{name}.tsv"))
+            or glob.glob(os.path.join(root, f"*spot*{name}.tsv.gz")))[0]
 
 
 def her2st_slide_path(root: str, name: str) -> str:
@@ -144,11 +171,7 @@ def load_her2st_section(
     with_labels: bool = False,
     with_patches: bool = True,
 ) -> Section:
-    cnt_path = os.path.join(root, "ST-cnts", f"{name}.tsv")
-    if not os.path.exists(cnt_path):
-        # almaan/her2st (cli fetch her2st) ships the counts gzipped
-        cnt_path += ".gz"
-    cnt = _read_tsv(cnt_path, index_col=0)
+    cnt = _read_tsv(her2st_cnt_path(root, name), index_col=0)
     pos = _pos_with_id(os.path.join(root, "ST-spotfiles", f"{name}_selection.tsv"))
     meta = cnt.join(pos.set_index("id"))  # left join, dataset.py:249
     labels = her2st_labels(root, name, meta.index) if with_labels else None
@@ -192,13 +215,8 @@ def load_cscc_section(
     cache_dir: Optional[str] = None,
     with_patches: bool = True,
 ) -> Section:
-    # GEO's GSE144240_RAW archive (cli fetch cscc) ships these gzipped
-    cnt_path = (glob.glob(os.path.join(root, f"*{name}_stdata.tsv"))
-                or glob.glob(os.path.join(root, f"*{name}_stdata.tsv.gz")))[0]
-    pos_path = (glob.glob(os.path.join(root, f"*spot*{name}.tsv"))
-                or glob.glob(os.path.join(root, f"*spot*{name}.tsv.gz")))[0]
-    cnt = _read_tsv(cnt_path, index_col=0)
-    pos = _pos_with_id(pos_path)
+    cnt = _read_tsv(cscc_cnt_path(root, name), index_col=0)
+    pos = _pos_with_id(cscc_pos_path(root, name))
     meta = cnt.join(pos.set_index("id"), how="inner")  # dataset.py:134
     slide = glob.glob(os.path.join(root, f"*{name}.jpg"))[0] if with_patches else None
     return _section_from_meta(name, meta, gene_panel, slide, patch_size, cache_dir)

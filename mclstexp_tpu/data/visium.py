@@ -73,7 +73,10 @@ def load_visium_section(
         cache_path = os.path.join(cache_dir, f"{name}.npy") if cache_dir else None
         if cache_path and os.path.exists(cache_path):
             patches = np.load(cache_path, mmap_mode="r")
-        else:
+            # wrong-patch-size cache is a miss (see st_dataset counterpart)
+            if patches.shape[1:3] != (patch_size, patch_size):
+                patches = None
+        if patches is None:
             import cv2
 
             os.environ.setdefault("OPENCV_IO_MAX_IMAGE_PIXELS", str(2**40))

@@ -43,7 +43,8 @@ def evaluate_fold(
         spot_key, expression_key, image_embeddings, top_k=top_k, weight_ord=weight_ord
     )
     if prediction_path:
-        os.makedirs(os.path.dirname(prediction_path), exist_ok=True)
+        # dirname('') of a bare filename would crash makedirs
+        os.makedirs(os.path.dirname(prediction_path) or ".", exist_ok=True)
         # reference dump layout: genes x spots (evel_her2st.py:189)
         np.save(prediction_path, pred_expr.T)
     return expression_metrics(pred_expr, expression_gt)
@@ -89,7 +90,8 @@ def evaluate_fold_resident(
         key_mask=mask,
     )
     if prediction_path:
-        os.makedirs(os.path.dirname(prediction_path), exist_ok=True)
+        # dirname('') of a bare filename would crash makedirs
+        os.makedirs(os.path.dirname(prediction_path) or ".", exist_ok=True)
         np.save(prediction_path, pred_expr.T)  # genes x spots layout
     return expression_metrics(pred_expr, expression_gt)
 

@@ -213,6 +213,8 @@ class PredictionService:
             raise ValueError(
                 f"patches must be (B, H, W, 3) NHWC uint8, got {patches.shape}"
             )
+        if patches.shape[0] == 0:
+            raise ValueError("empty batch: need at least one patch")
         if self.patch_size is not None and (
             patches.shape[1] != self.patch_size
             or patches.shape[2] != self.patch_size

@@ -200,6 +200,20 @@ def retrieve_and_aggregate(
     nk = key_emb_j.shape[0]
     mask_j = None if key_mask is None else jnp.asarray(key_mask, dtype=bool)
 
+    # Clamp K to the RETRIEVABLE key count: lax.top_k past it would return
+    # -inf-scored masked/out-of-range rows whose finite 1/d^2 weights then
+    # leak them into the prediction — for the LOO protocol that means the
+    # held-out section's own spots (silent self-leakage). The reference's
+    # torch.topk errors outright when k exceeds the key count; clamping is
+    # the serving-grade behavior (same as infer/serve.py's cap) and
+    # identical whenever K <= keys, i.e. on every reference protocol.
+    # (summing the caller's array, not mask_j: fold masks are built on the
+    # host, so this costs nothing; a device-array mask pays one readback)
+    n_active = nk if key_mask is None else int(np.asarray(key_mask).sum())
+    if n_active == 0:
+        raise ValueError("key_mask deactivates every retrievable key")
+    top_k = min(top_k, n_active)
+
     if streaming is None:
         streaming = nq * nk > STREAMING_SCORE_ELEMENTS
     if streaming:

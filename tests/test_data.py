@@ -124,3 +124,66 @@ def test_split_fold():
     train, test = pipeline.split_fold(sections, fold=1)
     assert test.name == "S2"
     assert [s.name for s in train] == ["S1", "S3"]
+
+
+def test_prefetch_propagates_producer_errors():
+    """A producer-thread crash must surface in the consumer, not silently
+    truncate the epoch (round-4 review finding)."""
+    import jax
+
+    from mclstexp_tpu.data.pipeline import prefetch_to_device
+
+    def batches():
+        yield {"x": np.zeros((2, 3), np.float32)}
+        raise RuntimeError("producer blew up")
+
+    it = prefetch_to_device(batches())
+    first = next(it)
+    assert first["x"].shape == (2, 3)
+    with pytest.raises(RuntimeError, match="producer blew up"):
+        next(it)
+
+    # clean iterators still terminate normally
+    assert len(list(prefetch_to_device(iter([{"x": np.ones(1)}])))) == 1
+
+
+def test_patch_cache_size_mismatch_is_a_miss(tmp_path):
+    """A cache file cut at a different patch size must be re-cut, not loaded
+    (the cache is keyed by section name only; round-4 review finding)."""
+    from mclstexp_tpu.data import synthetic
+    from mclstexp_tpu.data.st_dataset import load_her2st_section
+
+    root = str(tmp_path / "tree")
+    names, gene_names = synthetic.write_st_layout(
+        root, num_sections=1, num_spots=4, num_genes=5)
+    cache = tmp_path / "cache"
+
+    s16 = load_her2st_section(root, names[0], gene_names, patch_size=16,
+                              cache_dir=str(cache))
+    assert s16.patches.shape[1:3] == (16, 16)
+    s8 = load_her2st_section(root, names[0], gene_names, patch_size=8,
+                             cache_dir=str(cache))
+    assert s8.patches.shape[1:3] == (8, 8)  # stale 16px cache was a miss
+    # and the re-cut result was cached at the new size
+    assert np.load(cache / f"{names[0]}.npy", mmap_mode="r").shape[1:3] == (8, 8)
+
+
+def test_her2st_section_names_slice_at_33(tmp_path):
+    """The reference protocol slice [1:33] applies whenever the listing is
+    >= 33 entries (dataset.py:155-161 slices unconditionally on the full
+    checkout); a 33-file tree must NOT keep index 0."""
+    from mclstexp_tpu.data.st_dataset import her2st_section_names
+
+    cnts = tmp_path / "ST-cnts"
+    cnts.mkdir()
+    all_names = [f"{c}{d}" for c in "ABCDEFGHIJK" for d in "123"][:33]
+    for nm in all_names:
+        (cnts / f"{nm}.tsv").touch()
+    names = her2st_section_names(str(tmp_path))
+    assert names == sorted(all_names)[1:33]
+    assert len(names) == 32
+
+    # small (synthetic/test) trees keep all sections
+    for f in list(cnts.iterdir())[3:]:
+        f.unlink()
+    assert len(her2st_section_names(str(tmp_path))) == 3

@@ -143,3 +143,40 @@ def test_cli_select_panel_onboards_new_dataset(rng, tmp_path):
     for s in sections:
         assert s.expression.shape == (12, 8)
         assert np.isfinite(s.expression).all()
+
+
+def test_count_frames_read_gz_as_fetched(rng, tmp_path):
+    """`cli fetch` leaves her2st counts and cscc stdata gzipped; the panel
+    count-frame loaders must read them like the dataset loaders do
+    (round-4 review finding: they crashed on exactly the layout fetch
+    produces, contradicting fetch.py's docs)."""
+    import gzip
+
+    from mclstexp_tpu.data.panel import cscc_count_frames, her2st_count_frames
+
+    # her2st: gzip every ST-cnts TSV in place
+    her_root = tmp_path / "her"
+    _write_her2st_layout(her_root, rng)
+    for tsv in (her_root / "ST-cnts").iterdir():
+        with open(tsv, "rb") as f, gzip.open(f"{tsv}.gz", "wb") as g:
+            g.write(f.read())
+        tsv.unlink()
+    frames = her2st_count_frames(str(her_root))
+    assert [f.name for f in frames] == ["A1", "B2", "C3"]
+    assert all(np.isfinite(f.counts).all() for f in frames)
+
+    # cscc: one gzipped stdata file is enough to pin the glob fallback
+    import pandas as pd
+
+    cscc_root = tmp_path / "cscc"
+    cscc_root.mkdir()
+    from mclstexp_tpu.data.st_dataset import cscc_section_names
+
+    for name in cscc_section_names():
+        df = pd.DataFrame(rng.poisson(3.0, size=(4, 5)),
+                          index=[f"{i}x{i}" for i in range(4)],
+                          columns=[f"G{i}" for i in range(5)])
+        with gzip.open(cscc_root / f"GSM_{name}_stdata.tsv.gz", "wt") as f:
+            f.write(df.to_csv(sep="\t"))
+    frames = cscc_count_frames(str(cscc_root))
+    assert len(frames) == 12

@@ -189,3 +189,33 @@ def test_l2_normalize_zero_safe():
     x = jnp.zeros((2, 4))
     out = np.asarray(retrieval.l2_normalize(x))
     assert np.all(np.isfinite(out))
+
+
+def test_topk_clamped_to_active_keys(rng):
+    """top_k > unmasked key count must not leak masked (-inf-scored) rows
+    into the prediction: masked rows get finite 1/d^2 weights once lax.top_k
+    runs past the active set. retrieve_and_aggregate clamps K to the
+    retrievable count (the reference's torch.topk errors outright there;
+    clamping matches infer/serve.py's cap). Round-4 review finding."""
+    from mclstexp_tpu.ops.retrieval import retrieve_and_aggregate
+
+    nk, p, g = 12, 6, 4
+    key_emb = rng.normal(size=(nk, p)).astype(np.float32)
+    key_expr = np.zeros((nk, g), np.float32)
+    key_expr[:3] = 1.0  # only the 3 active rows carry signal
+    mask = np.zeros(nk, bool)
+    mask[:3] = True
+    query = rng.normal(size=(2, p)).astype(np.float32)
+
+    _, pred = retrieve_and_aggregate(key_emb, key_expr, query, top_k=8,
+                                     weight_ord=2, key_mask=mask)
+    np.testing.assert_allclose(pred, 1.0, rtol=1e-6)  # no masked-zero dilution
+
+    _, pred_s = retrieve_and_aggregate(key_emb, key_expr, query, top_k=8,
+                                       weight_ord=2, key_mask=mask,
+                                       streaming=True)
+    np.testing.assert_allclose(pred_s, 1.0, rtol=1e-6)
+
+    with pytest.raises(ValueError, match="deactivates every"):
+        retrieve_and_aggregate(key_emb, key_expr, query, top_k=3,
+                               weight_ord=2, key_mask=np.zeros(nk, bool))
