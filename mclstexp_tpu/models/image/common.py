@@ -64,10 +64,14 @@ class BatchNormT(nn.Module):
         else:
             x32 = x.astype(jnp.float32)
             reduce_axes = tuple(range(x.ndim - 1))
+            # Two-pass variance (mean of squared deviations), torch's form.
+            # E[x^2] - E[x]^2 cancels catastrophically in fp32 for
+            # large-magnitude low-variance activations (e.g. visium's raw
+            # 0-255 inputs) and can even go negative -> rsqrt NaN.
             if mask is None:
                 n = x.size // c
                 mean = jnp.mean(x32, axis=reduce_axes)
-                var = jnp.mean(jnp.square(x32), axis=reduce_axes) - jnp.square(mean)
+                var = jnp.mean(jnp.square(x32 - mean), axis=reduce_axes)
             else:
                 w = mask.astype(jnp.float32).reshape(
                     (x.shape[0],) + (1,) * (x.ndim - 1)
@@ -75,7 +79,7 @@ class BatchNormT(nn.Module):
                 per_sample = x.size // c // x.shape[0]  # spatial elems/sample
                 n = jnp.maximum(jnp.sum(w) * per_sample, 1.0)
                 mean = jnp.sum(x32 * w, axis=reduce_axes) / n
-                var = jnp.sum(jnp.square(x32) * w, axis=reduce_axes) / n - jnp.square(mean)
+                var = jnp.sum(jnp.square(x32 - mean) * w, axis=reduce_axes) / n
             if not self.is_initializing():
                 unbiased = var * (n / jnp.maximum(n - 1, 1))
                 ra_mean.value = (

@@ -98,7 +98,8 @@ class _SlicedBN(nn.Module):
             axes = tuple(range(piece.ndim - 1))
             n = piece.size // c
             mean = jnp.mean(x32, axis=axes)
-            var = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean)
+            # two-pass form, as in BatchNormT (E[x^2]-E[x]^2 cancels in fp32)
+            var = jnp.mean(jnp.square(x32 - mean), axis=axes)
             if not self.is_initializing():
                 unbiased = var * (n / max(n - 1, 1))
                 # jnp.asarray: callers may seed batch_stats with NumPy

@@ -149,7 +149,13 @@ def _export_vit(e: _Exporter, prefix: str, src: str):
         e.ln(f"{base}.norm2", *d, "norm_ff")
         e.linear(f"{base}.mlp.fc1", *d, "ff", "fc1")
         e.linear(f"{base}.mlp.fc2", *d, "ff", "fc2")
-    e.ln(_j(prefix, "norm"), src, "norm")
+    # Final-norm key: the reference builds its ViT with global_pool="avg"
+    # (model.py:104-116), and timm >= 0.6 then stores the post-pool
+    # LayerNorm as ``fc_norm.*`` with ``norm`` an Identity — so a
+    # strict=True load needs ``fc_norm``. CLIP trunks (pre_norm towers,
+    # token pooling) keep timm's ``norm.*``. torch_import accepts both.
+    final_norm = "norm" if "norm_pre" in e.params[src] else "fc_norm"
+    e.ln(_j(prefix, final_norm), src, "norm")
 
 
 def _export_attn_block(e: _Exporter, base: str, src):

@@ -14,6 +14,15 @@ vector — pool-then-norm, not norm-then-pool. The importer accepts either
 
 Reuses the core transformer blocks; the patch embed is one strided conv
 that XLA lowers to a single (B*49, 3072) x (3072, 768) MXU matmul.
+
+Scoped exception to the torch-parity-init invariant (CLAUDE.md): the
+FROM-SCRATCH initializers here (zeros cls_token, normal(0.02) pos_embed,
+lecun patch embed) are not bit-faithful to timm's trunc_normal scheme.
+The reference only ever builds this tower with ``pretrained=True``
+(``model.py:106-110``), so its scratch init is unreachable in any
+reference flow; parity runs graft the pretrained weights via
+``--pretrained`` / ``torch_import`` (golden-tested), where init draws
+are irrelevant.
 """
 
 from __future__ import annotations

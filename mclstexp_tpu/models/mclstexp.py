@@ -36,6 +36,16 @@ class MclSTExp(nn.Module):
       image:      (B, 224, 224, 3) float in [0, 1], NHWC
       expression: (B, G) log-CPM HVG expression
       position:   (B, 2) raw integer (x, y) coords
+
+    Divergence (documented): ``config.dropout`` is LIVE here — it reaches
+    the spot-encoder attention blocks and both projection heads. The
+    reference's ``--dropout`` flag is dead code: ``mclSTExp_Attention``
+    hardcodes ``dropout=0.`` in its spot attn_blocks and never forwards
+    dropout to ``ProjectionHead`` (reference ``model.py:202,217-221``), so
+    a reference run with --dropout 0.1 still trains dropout-free. The
+    default (0.0) is bit-parity; nonzero values train the model the flag
+    CLAIMS to train in the reference (quirk policy: dead code is not
+    reproduced).
     """
 
     config: ModelConfig

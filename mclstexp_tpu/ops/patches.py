@@ -30,18 +30,22 @@ def extract_patches(
     Out-of-bounds regions are zero-filled (PIL crop semantics).
     """
     r = patch_size // 2
-    h, w = slide.shape[0], slide.shape[1]
     c = slide.shape[2]
-    # Zero-pad once so every dynamic_slice is in-bounds; the pad lives in HBM
-    # next to the slide and XLA fuses the gather.
-    padded = jnp.pad(slide, ((r, r), (r, r), (0, 0)))
+    # Zero-pad by a FULL patch per side so every reachable start is
+    # in-bounds even for centers outside the image: dynamic_slice CLAMPS
+    # out-of-range starts, and with only r of padding a negative coordinate
+    # clamped to 0 silently returned a shifted patch instead of the
+    # documented PIL zero-fill (round-4 review finding). With P of padding,
+    # partial overlaps land exactly, and fully-outside centers clamp into
+    # pure pad — all-zero, matching extract_patches_np for any center.
+    padded = jnp.pad(slide, ((patch_size, patch_size), (patch_size, patch_size), (0, 0)))
 
     def one(center):
         x, y = center[0], center[1]
-        # top-left of the patch in padded coords: (y - r) + r = y, (x - r) + r = x
+        # top-left of the patch in padded coords: (coord - r) + P = coord + r
         return jax.lax.dynamic_slice(
             padded,
-            (y.astype(jnp.int32), x.astype(jnp.int32), jnp.int32(0)),
+            (y.astype(jnp.int32) + r, x.astype(jnp.int32) + r, jnp.int32(0)),
             (patch_size, patch_size, c),
         )
 

@@ -224,10 +224,19 @@ def retrieve_and_aggregate(
     pred_embs, pred_exprs = [], []
     for start in range(0, nq, chunk_size):
         stop = min(start + chunk_size, nq)
-        # Pad the tail chunk to a static shape so jit compiles once per size.
+        b = stop - start
         chunk_q = query_j[start:stop]
         chunk_i = indices[start:stop]
+        if b < chunk_size:
+            # Pad the tail chunk to the one static shape so _aggregate_chunk
+            # compiles once per (chunk_size, K, D, G) across every call —
+            # the 32-fold LOO sweep would otherwise recompile per distinct
+            # query-count remainder (expensive over the remote-TPU tunnel).
+            chunk_q = jnp.concatenate(
+                [chunk_q, jnp.zeros((chunk_size - b, chunk_q.shape[1]), chunk_q.dtype)])
+            chunk_i = jnp.concatenate(
+                [chunk_i, jnp.zeros((chunk_size - b, chunk_i.shape[1]), chunk_i.dtype)])
         pe, px = _aggregate_chunk(key_emb_j, key_expr_j, chunk_q, chunk_i, weight_ord)
-        pred_embs.append(np.asarray(pe))
-        pred_exprs.append(np.asarray(px))
+        pred_embs.append(np.asarray(pe)[:b])
+        pred_exprs.append(np.asarray(px)[:b])
     return np.concatenate(pred_embs, axis=0), np.concatenate(pred_exprs, axis=0)

@@ -45,15 +45,37 @@ def restore_checkpoint(path: str) -> Dict[str, Any]:
     return _checkpointer().restore(os.path.abspath(path))
 
 
+def _restore_like(template, restored):
+    """Re-impose `template`'s tree structure on a restored pytree.
+
+    Orbax's untyped restore returns optax states as plain dicts/lists
+    (namedtuple types are not serialized), and the first tx.update after a
+    resume would crash on e.g. ``ScaleByAdamState.mu`` attribute access.
+    Leaf order is preserved (namedtuples flatten in field order; their dict
+    restorations flatten in sorted-key order — identical for optax's
+    count/mu/nu states, and the leaf-count check guards the rest)."""
+    leaves_t, treedef = jax.tree_util.tree_flatten(template)
+    leaves_r = jax.tree_util.tree_leaves(restored)
+    if len(leaves_r) != len(leaves_t):
+        raise ValueError(
+            f"restored optimizer state has {len(leaves_r)} leaves, expected "
+            f"{len(leaves_t)} — checkpoint saved under a different optimizer?"
+        )
+    return jax.tree_util.tree_unflatten(treedef, leaves_r)
+
+
 def apply_checkpoint(state, restored: Dict[str, Any]):
     """Rebuild a TrainState from a restored payload (resume or eval)."""
     import jax.numpy as jnp
 
+    opt_state = state.opt_state
+    if restored.get("opt_state") is not None:
+        opt_state = _restore_like(state.opt_state, restored["opt_state"])
     return state.replace(
         step=jnp.asarray(restored["step"]),
         params=restored["params"],
         batch_stats=restored.get("batch_stats", state.batch_stats),
-        opt_state=restored.get("opt_state", state.opt_state),
+        opt_state=opt_state,
     )
 
 

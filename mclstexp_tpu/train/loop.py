@@ -85,6 +85,14 @@ def check_positions_in_vocab(sections: Sequence[Section], pos_vocab: int) -> Non
                 f"coords to dense rows first (DataConfig.pos_remap / "
                 f"data/posremap.py — the visium preset default)"
             )
+        lo = int(np.min(s.positions)) if s.num_spots else 0
+        if lo < 0:
+            # jnp.take's clip mode would silently read row 0 for these
+            # (the reference's nn.Embedding raises on negatives)
+            raise ValueError(
+                f"section {s.name}: negative position coordinate {lo} — "
+                f"corrupted spot file or a bad coordinate remap"
+            )
 
 
 def _train_fold(

@@ -190,7 +190,11 @@ def test_vit_export_roundtrip():
     depth = sum(1 for k in params["image_encoder"] if k.startswith("block"))
     assert f"image_encoder.model.blocks.{depth - 1}.mlp.fc2.weight" in sd
     assert "image_encoder.model.cls_token" in sd
-    assert "image_encoder.model.norm.weight" in sd
+    # the reference's timm tower (global_pool="avg", model.py:104-116)
+    # stores the post-pool LayerNorm as fc_norm.*; "norm" would fail its
+    # strict=True load (round-4 review finding)
+    assert "image_encoder.model.fc_norm.weight" in sd
+    assert "image_encoder.model.norm.weight" not in sd
 
 
 def test_export_rejects_unconsumed_leaves():

@@ -165,3 +165,51 @@ def test_debug_nans_flag(tmp_path):
         cfg, train=dataclasses.replace(cfg.train, debug_nans=False))
     train_fold(cfg_off, [sections[0], bad], 0, logger=MetricLogger(echo=False))
     assert not jax.config.jax_debug_nans
+
+
+def test_checkpoint_resume_steps_after_restore(tmp_path):
+    """Resume must reconstruct the optax namedtuple opt_state: Orbax's
+    untyped restore returns plain dicts/lists, and the first tx.update after
+    apply_checkpoint crashed on ScaleByAdamState.mu before the round-4 fix
+    (the advertised mid-fold resumability never worked). Also pins that the
+    resumed trajectory bit-continues the original."""
+    from mclstexp_tpu.train import checkpoint as ckpt
+
+    data = _data()
+    model, state = create_train_state(TINY, TrainConfig(batch_size=8), _sample(data, 1))
+    step = make_train_step(model, augment_mode="st", donate=False)
+    batch = data.take(np.arange(8))
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+
+    d = str(tmp_path / "ck")
+    ckpt.save_checkpoint(d, state)
+    _, fresh = create_train_state(TINY, TrainConfig(batch_size=8), _sample(data, 1))
+    resumed = ckpt.apply_checkpoint(fresh, ckpt.restore_checkpoint(d))
+    assert int(resumed.step) == int(state.step)
+
+    state, loss_orig = step(state, batch, jax.random.PRNGKey(1))
+    resumed, loss_res = step(resumed, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(loss_res), float(loss_orig), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        state.params, resumed.params,
+    )
+
+    # leaf-count mismatch (different optimizer) fails loudly, not at step time
+    import dataclasses as _dc
+
+    bad = ckpt.restore_checkpoint(d)
+    bad["opt_state"] = {"not": {"the": np.zeros(1)}}
+    with pytest.raises(ValueError, match="leaves"):
+        ckpt.apply_checkpoint(fresh, bad)
+
+
+def test_position_guard_rejects_negative_coords():
+    from mclstexp_tpu.data.section import Section
+    from mclstexp_tpu.train.loop import check_positions_in_vocab
+
+    sec = Section(name="S", expression=np.zeros((2, 3), np.float32),
+                  positions=np.array([[1, 2], [-3, 4]], np.int32),
+                  centers=np.zeros((2, 2), np.int32))
+    with pytest.raises(ValueError, match="negative position"):
+        check_positions_in_vocab([sec], pos_vocab=64)
