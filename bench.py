@@ -372,6 +372,13 @@ def bench_streaming_retrieval(jax, n_query=3456, n_keys=200_000, p=256,
         retrieve_and_aggregate(key_emb, key_expr, query, top_k=top_k,
                                weight_ord=1, streaming=force)
 
+    def once_bf16():
+        # production HBM-halving mode: bf16-stored normalized keys, fp32
+        # accumulation (ops/retrieval.streaming_topk bf16=True)
+        retrieve_and_aggregate(key_emb, key_expr, query, top_k=top_k,
+                               weight_ord=1, streaming=True,
+                               streaming_bf16=True)
+
     t0 = time.perf_counter()
     once()
     _log(f"streaming retrieval compile+run: {time.perf_counter() - t0:.1f}s")
@@ -380,10 +387,19 @@ def bench_streaming_retrieval(jax, n_query=3456, n_keys=200_000, p=256,
     qps = n_query / med
     _log(f"streaming retrieval: {n_query} queries x {n_keys} keys "
          f"(K={top_k}) median {med:.3f}s ({qps:.0f} queries/s)")
+    t0 = time.perf_counter()
+    once_bf16()
+    _log(f"bf16 streaming compile+run: {time.perf_counter() - t0:.1f}s")
+    dts16 = timed_windows(once_bf16, "streaming_retrieval_bf16")
+    med16 = statistics.median(dts16)
+    _log(f"bf16 streaming retrieval: median {med16:.3f}s "
+         f"({n_query / med16:.0f} queries/s)")
     return {
         "streaming_retrieval_queries_per_sec": round(qps, 2),
         "streaming_retrieval_s": window_stats(dts),
         "streaming_retrieval_n_keys": n_keys,
+        "streaming_retrieval_bf16_queries_per_sec": round(n_query / med16, 2),
+        "streaming_retrieval_bf16_s": window_stats(dts16),
     }
 
 

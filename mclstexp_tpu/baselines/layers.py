@@ -105,7 +105,8 @@ class GraphAttention(nn.Module):
 
     @nn.compact
     def __call__(
-        self, h: jax.Array, adj: jax.Array, deterministic: bool = True
+        self, h: jax.Array, adj: jax.Array, deterministic: bool = True,
+        mask: "jax.Array | None" = None,
     ) -> jax.Array:
         wh = nn.Dense(
             self.out_features, use_bias=False,
@@ -118,6 +119,16 @@ class GraphAttention(nn.Module):
         e2 = wh @ a[self.out_features :]
         e = nn.leaky_relu(e1 + e2.T, negative_slope=self.alpha)
         e = jnp.where(adj > 0, e, -9e15)
+        if mask is not None:
+            # Pad COLUMNS get a strictly lower fill than non-neighbors: an
+            # isolated real spot (all-zero adjacency row — possible under
+            # prune='grid' at tissue edges) degrades to a uniform softmax
+            # over the -9e15 entries, and without this it would attend
+            # uniformly over PAD tokens too, breaking pad-equivalence
+            # (reference GATLayer.py softmaxes over real spots only because
+            # it never pads). Finite fill (not -inf) so all-pad rows stay
+            # NaN-free.
+            e = jnp.where(mask[None, :], e, -1e30)
         attn = jax.nn.softmax(e, axis=1)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         out = attn @ wh
@@ -134,14 +145,15 @@ class MultiHeadGAT(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, adj: jax.Array, deterministic: bool = True
+        self, x: jax.Array, adj: jax.Array, deterministic: bool = True,
+        mask: "jax.Array | None" = None,
     ) -> jax.Array:
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         heads = [
             GraphAttention(
                 self.nhid, self.dropout, self.alpha, True, self.dtype,
                 name=f"attention_{i}",
-            )(x, adj, deterministic)
+            )(x, adj, deterministic, mask=mask)
             for i in range(self.heads)
         ]
         x = jnp.concatenate(heads, axis=1)
@@ -149,7 +161,7 @@ class MultiHeadGAT(nn.Module):
         x = GraphAttention(
             self.out_features, self.dropout, self.alpha, False, self.dtype,
             name="out_att",
-        )(x, adj, deterministic)
+        )(x, adj, deterministic, mask=mask)
         return nn.elu(x)
 
 

@@ -20,13 +20,22 @@ import jax.numpy as jnp
 from mclstexp_tpu.core.losses import soft_target_cross_entropy
 
 
-def nb_loss(x: jax.Array, log_r: jax.Array, logit_p: jax.Array) -> jax.Array:
-    """NB NLL; x raw counts (N, G), heads emit log-dispersion r and logit p."""
+def nb_loss(x: jax.Array, log_r: jax.Array, logit_p: jax.Array,
+            mask: "jax.Array | None" = None) -> jax.Array:
+    """NB NLL; x raw counts (N, G), heads emit log-dispersion r and logit p.
+
+    mask: optional (N,) bool over spots — pad rows contribute NOTHING, so a
+    bucket-padded slide's loss equals the unpadded slide's (the reference
+    trains unpadded dynamic shapes, NB_module.py:18-24)."""
     x = x.astype(jnp.float32)
     r = jnp.exp(log_r)
     ll = jax.lax.lgamma(r + x) - jax.lax.lgamma(r)
     ll += logit_p * x - jnp.log1p(jnp.exp(logit_p)) * (x + r)
-    return -jnp.mean(jnp.sum(ll, axis=-1))
+    per_spot = -jnp.sum(ll, axis=-1)
+    if mask is None:
+        return jnp.mean(per_spot)
+    w = mask.astype(jnp.float32)
+    return jnp.sum(per_spot * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 def zinb_loss(
@@ -37,8 +46,14 @@ def zinb_loss(
     scale_factor: jax.Array,
     ridge_lambda: float = 0.0,
     eps: float = 1e-10,
+    mask: "jax.Array | None" = None,
 ) -> jax.Array:
-    """ZINB NLL; mean/disp positive, pi in (0, 1), scale_factor (N,)."""
+    """ZINB NLL; mean/disp positive, pi in (0, 1), scale_factor (N,).
+
+    mask: optional (N,) bool over spots — pad rows (whose zero_case term is
+    strictly positive) are excluded from the mean so the padded slide's
+    loss and gradients equal the unpadded slide's (reference
+    NB_module.py:26-46 sees only real spots)."""
     x = x.astype(jnp.float32)
     mean = mean * scale_factor[:, None]
 
@@ -54,7 +69,10 @@ def zinb_loss(
     out = jnp.where(x <= 1e-8, zero_case, nb_case)
     if ridge_lambda > 0:
         out = out + ridge_lambda * jnp.square(pi)
-    return jnp.mean(out)
+    if mask is None:
+        return jnp.mean(out)
+    w = mask.astype(jnp.float32)[:, None]
+    return jnp.sum(out * w) / jnp.maximum(jnp.sum(w) * out.shape[1], 1.0)
 
 
 def mean_act(x: jax.Array) -> jax.Array:

@@ -267,7 +267,7 @@ class THItoGene(nn.Module):
         g = MultiHeadGAT(
             nhid=1024, out_features=512, heads=self.heads[1],
             dropout=self.dropout, alpha=0.01, dtype=self.dtype, name="gat",
-        )(seq, adj, deterministic=not train)
+        )(seq, adj, deterministic=not train, mask=mask)
 
         h = DenseT(1024, dtype=self.dtype, name="head_fc1")(g)
         h = nn.relu(h)

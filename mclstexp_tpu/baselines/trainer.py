@@ -210,8 +210,9 @@ def _slide_loss(
     patches = batch["patches"].astype(jnp.float32) / 255.0
     mask = batch["mask"]
 
-    def apply_model(pats, train, aug=False, rng_=None):
-        variables = {"params": params, "batch_stats": batch_stats}
+    def apply_model(pats, train, aug=False, rng_=None, bs=None):
+        variables = {"params": params,
+                     "batch_stats": batch_stats if bs is None else bs}
         kwargs = dict(train=train, mask=mask)
         if aug:
             kwargs["aug"] = True
@@ -232,22 +233,32 @@ def _slide_loss(
         pred, extra, h = out, None, None
     loss = masked_mse(pred, batch["expression"], mask)
     if cfg.model == "hist2st" and extra is not None and "counts" in batch:
+        # mask: pad rows would otherwise contribute a strictly positive
+        # zero_case term and dilute the mean — the pad-exactness invariant
+        # covers the AUXILIARY losses too (round-4 review finding)
         if cfg.nb:
             r, p = extra
-            ll = bl.nb_loss(batch["counts"], r, p)
+            ll = bl.nb_loss(batch["counts"], r, p, mask=mask)
         else:
             m, d, pi = extra
-            ll = bl.zinb_loss(batch["counts"], m, d, pi, batch["size_factors"])
+            ll = bl.zinb_loss(batch["counts"], m, d, pi, batch["size_factors"],
+                              mask=mask)
         loss = loss + cfg.zinb_coef * ll
     if cfg.model == "hist2st" and n_bake > 0:
         baked = _bake_augment(bake_rng, patches, n_bake)
         use_coef = getattr(model, "coef_head", False)
         preds, coefs = [], []
         for i in range(n_bake):
-            # fresh dropout stream per bake, like torch's per-forward draws
-            (bp, _, bc), _ = apply_model(
-                baked[i], True, aug=use_coef, rng_=jax.random.fold_in(drop_rng, i + 1)
+            # fresh dropout stream per bake, like torch's per-forward draws;
+            # BN running stats CHAIN through every bake forward — the
+            # reference's aug() runs each bake in train mode, so torch
+            # updates running_mean/var 1+bake times per step
+            # (HIST2ST.py:160-166; round-4 review finding)
+            (bp, _, bc), bake_upd = apply_model(
+                baked[i], True, aug=use_coef,
+                rng_=jax.random.fold_in(drop_rng, i + 1), bs=new_bs,
             )
+            new_bs = bake_upd.get("batch_stats", new_bs)
             preds.append(bp)
             coefs.append(bc)
         if use_coef:

@@ -137,21 +137,32 @@ def _load_sections(cfg, with_patches: bool = True):
 
     ds = cfg.data.dataset
     if ds == "synthetic":
-        return synthetic.make_dataset()
+        # honor --patch-size: the model towers are built for
+        # cfg.data.patch_size, and a fixed 32px default here would feed
+        # them mismatched patches (Hist2ST's conv patchify then fails its
+        # token reshape)
+        return synthetic.make_dataset(patch_size=cfg.data.patch_size)
     panel = genes.load_panel(ds, cfg.data.gene_panel or None)
-    cache = os.path.join(cfg.data.patch_cache_dir, ds)
+    ps = cfg.data.patch_size
+    # cache dir is per (dataset, patch size): the flagship cuts 224px, the
+    # slide baselines 112px, and a shared dir would re-cut on every switch
+    # (the loaders treat a wrong-size cache as a miss)
+    cache = os.path.join(cfg.data.patch_cache_dir, f"{ds}_{ps}")
 
     def load(names=None, with_p=with_patches):
         if ds == "her2st":
             return load_her2st(cfg.data.data_root, panel, names=names,
-                               cache_dir=cache, with_patches=with_p)
+                               patch_size=ps, cache_dir=cache,
+                               with_patches=with_p)
         if ds == "cscc":
             return load_cscc(cfg.data.data_root, panel, names=names,
-                             cache_dir=cache, with_patches=with_p)
+                             patch_size=ps, cache_dir=cache,
+                             with_patches=with_p)
         if ds == "visium":
             kw = {} if names is None else {"names": names}
             return load_visium(cfg.data.data_root, cfg.data.preprocessed_root,
-                               cache_dir=cache, with_patches=with_p, **kw)
+                               patch_size=ps, cache_dir=cache,
+                               with_patches=with_p, **kw)
         raise ValueError(ds)
 
     if with_patches:
@@ -616,6 +627,12 @@ def cmd_baseline(args) -> int:
         max_epochs=args.max_epochs,
         n_layers=n_layers,
         lr=args.lr,
+        # the baseline subparser resets these defaults to None sentinels so
+        # an UNSET flag falls through to the per-family reference default
+        # (they were silently ignored before — round-4 review finding)
+        weight_decay=args.weight_decay,
+        dropout=args.dropout if args.dropout is not None else 0.2,
+        temperature=args.temperature if args.temperature is not None else 1.0,
         seed=args.seed,
         zinb_coef=args.zinb,
         bake=args.bake,
@@ -861,6 +878,9 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     p = sub.add_parser("baseline", help="train/eval a baseline family")
     _add_model_flags(p); _add_data_flags(p); _add_dist_flags(p)
+    # None sentinels: unset flags fall through to each family's reference
+    # defaults in BaselineConfig instead of the flagship defaults above
+    p.set_defaults(weight_decay=None, dropout=None, temperature=None)
     p.add_argument("--baseline", type=str, required=True,
                    choices=["histogene", "hist2st", "thitogene", "bleep"])
     p.add_argument("--fold", type=int, default=0)

@@ -60,13 +60,14 @@ def find_matches(
     return jax.lax.top_k(scores, top_k)
 
 
-@functools.partial(jax.jit, static_argnames=("top_k", "chunk_size"))
+@functools.partial(jax.jit, static_argnames=("top_k", "chunk_size", "bf16"))
 def streaming_topk(
     key_emb: jax.Array,
     query_emb: jax.Array,
     top_k: int,
     chunk_size: int = 4096,
     key_mask: "jax.Array | None" = None,
+    bf16: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Memory-bounded cosine top-K over arbitrarily large key sets.
 
@@ -77,9 +78,22 @@ def streaming_topk(
     a running (Nq, top_k) buffer via `lax.top_k` over top_k + C candidates —
     peak memory O(Nq * (top_k + C)), bit-identical ordering to the dense
     path for distinct scores.
+
+    bf16: store the L2-NORMALIZED keys/queries as bfloat16 — the scan is
+    HBM-bound on reading the key matrix, so this halves the streamed bytes;
+    the MXU takes bf16 inputs natively and the matmul still ACCUMULATES in
+    fp32 (``preferred_element_type``), so only the inputs round (~8 bits of
+    cosine-score mantissa). Ranking can flip for near-ties — an opt-in
+    production mode, not the parity default (the reference's find_matches is
+    fp32 throughout, ``evel_her2st.py:74-84``). Normalization happens in
+    fp32 BEFORE the cast. The returned values are the fp32-accumulated
+    scores of the bf16 inputs.
     """
     q = l2_normalize(query_emb.astype(jnp.float32))
     k = l2_normalize(key_emb.astype(jnp.float32))
+    if bf16:
+        q = q.astype(jnp.bfloat16)
+        k = k.astype(jnp.bfloat16)
     nk, d = k.shape
     nq = q.shape[0]
 
@@ -100,7 +114,9 @@ def streaming_topk(
     def body(carry, inp):
         vals, idx = carry
         chunk_i, k_chunk, chunk_valid = inp
-        scores = q @ k_chunk.T  # (Nq, C)
+        scores = jnp.matmul(
+            q, k_chunk.T, preferred_element_type=jnp.float32
+        )  # (Nq, C) — fp32 accumulation even for bf16 inputs
         cand_idx = chunk_i * chunk_size + jax.lax.broadcasted_iota(
             jnp.int32, (nq, chunk_size), 1
         )
@@ -173,6 +189,7 @@ def retrieve_and_aggregate(
     chunk_size: int = 1024,
     streaming: "bool | None" = None,
     key_mask=None,
+    streaming_bf16: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Full retrieval inference: (pred_embeddings, pred_expression).
 
@@ -192,6 +209,11 @@ def retrieve_and_aggregate(
     LOO protocol keep one device-resident key set across folds (see
     ``find_matches``); device arrays passed for key_emb/key_expr are used
     in place (no copy).
+
+    streaming_bf16: opt-in bf16 storage for the streamed normalized keys
+    (halves the scan's HBM traffic; fp32 accumulation — see
+    ``streaming_topk``). Only affects the streaming path; aggregation stays
+    fp32 on the original unnormalized embeddings either way.
     """
     key_emb_j = jnp.asarray(key_emb, dtype=jnp.float32)
     key_expr_j = jnp.asarray(key_expr, dtype=jnp.float32)
@@ -217,7 +239,9 @@ def retrieve_and_aggregate(
     if streaming is None:
         streaming = nq * nk > STREAMING_SCORE_ELEMENTS
     if streaming:
-        _, indices = streaming_topk(key_emb_j, query_j, top_k, key_mask=mask_j)
+        _, indices = streaming_topk(
+            key_emb_j, query_j, top_k, key_mask=mask_j, bf16=streaming_bf16
+        )
     else:
         _, indices = find_matches(key_emb_j, query_j, top_k, key_mask=mask_j)
 

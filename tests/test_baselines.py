@@ -106,6 +106,44 @@ def test_zinb_loss_matches_torch(rng):
     np.testing.assert_allclose(got, expected, rtol=1e-4)
 
 
+def test_nb_zinb_loss_mask_pad_exact(rng):
+    """Masked NB/ZINB on a pad-extended batch equal the unmasked losses on
+    the real rows — pad rows contribute nothing to value OR normalizer (the
+    reference trains unpadded dynamic shapes, NB_module.py:18-46; without
+    the mask a pad row's strictly positive zero_case dilutes the mean)."""
+    n, g, pad = 6, 9, 5
+    x = rng.poisson(3.0, size=(n, g)).astype(np.float32)
+    hr = rng.normal(size=(n, g)).astype(np.float32)
+    hp = rng.normal(size=(n, g)).astype(np.float32)
+    mean = np.abs(rng.normal(size=(n, g))).astype(np.float32) + 0.1
+    disp = np.abs(rng.normal(size=(n, g))).astype(np.float32) + 0.1
+    pi = rng.uniform(0.05, 0.95, size=(n, g)).astype(np.float32)
+    sf = rng.uniform(0.5, 2.0, size=(n,)).astype(np.float32)
+
+    def padded(a, value=0.0):
+        w = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.asarray(np.pad(a, w, constant_values=value))
+
+    mask = jnp.concatenate([jnp.ones(n, bool), jnp.zeros(pad, bool)])
+    want_nb = float(losses.nb_loss(jnp.asarray(x), jnp.asarray(hr), jnp.asarray(hp)))
+    got_nb = float(losses.nb_loss(padded(x), padded(hr), padded(hp), mask=mask))
+    np.testing.assert_allclose(got_nb, want_nb, rtol=1e-6)
+
+    want_z = float(losses.zinb_loss(
+        jnp.asarray(x), jnp.asarray(mean), jnp.asarray(disp), jnp.asarray(pi),
+        jnp.asarray(sf)))
+    got_z = float(losses.zinb_loss(
+        padded(x), padded(mean, 0.1), padded(disp, 0.1), padded(pi, 0.5),
+        padded(sf, 1.0), mask=mask))
+    np.testing.assert_allclose(got_z, want_z, rtol=1e-6)
+
+    # all-true mask == no mask
+    full = jnp.ones(n, bool)
+    np.testing.assert_allclose(
+        float(losses.nb_loss(jnp.asarray(x), jnp.asarray(hr), jnp.asarray(hp),
+                             mask=full)), want_nb, rtol=1e-6)
+
+
 def test_bleep_loss_matches_torch(rng):
     torch = pytest.importorskip("torch")
     import torch.nn.functional as F
@@ -366,6 +404,187 @@ def test_hist2st_train_mode_pad_equivalence(rng):
             np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-5,
             err_msg=f"bn{jax.tree_util.keystr(path)}",
         )
+
+
+def test_gat_isolated_spot_pad_exact(rng):
+    """A real spot with an all-zero adjacency row (possible under
+    prune='grid' at tissue edges) degrades to a uniform softmax over the
+    -9e15 fill — pad COLUMNS must sit strictly below that fill or the
+    isolated spot attends uniformly over pads too (reference GATLayer.py
+    never pads; round-4 review finding)."""
+    from mclstexp_tpu.baselines.layers import MultiHeadGAT
+
+    n, pad, f = 5, 3, 8
+    x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    adj = np.ones((n, n), np.float32)
+    adj[2, :] = 0.0  # isolated real spot
+    adj[:, 2] = 0.0
+    gat = MultiHeadGAT(nhid=4, out_features=6, heads=2, dropout=0.0, alpha=0.01)
+    variables = gat.init(jax.random.PRNGKey(0), x, jnp.asarray(adj))
+    out = gat.apply(variables, x, jnp.asarray(adj))
+
+    x_p = jnp.concatenate([x, jnp.zeros((pad, f))])
+    adj_p = np.zeros((n + pad, n + pad), np.float32)
+    adj_p[:n, :n] = adj
+    mask = jnp.concatenate([jnp.ones(n, bool), jnp.zeros(pad, bool)])
+    out_p = gat.apply(variables, x_p, jnp.asarray(adj_p), mask=mask)
+    np.testing.assert_allclose(np.asarray(out_p[:n]), np.asarray(out),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_cli_baseline_flag_fallthrough(monkeypatch, tmp_path):
+    """Unset --weight_decay/--dropout/--temperature fall through to each
+    family's reference defaults (the baseline subparser resets them to None
+    sentinels); explicitly set flags win. Pins the round-4 fix — before it,
+    the flagship parser defaults (wd 1e-3, dropout 0.0) were silently
+    applied to every family."""
+    from mclstexp_tpu.baselines import trainer as bt
+    from mclstexp_tpu.cli.main import main as cli_main
+
+    captured = {}
+
+    class _Stop(Exception):
+        pass
+
+    def fake_train(cfg, sections, fold, logger=None, mesh=None):
+        captured["cfg"] = cfg
+        raise _Stop
+
+    monkeypatch.setattr(bt, "train_baseline_fold", fake_train)
+    base = ["baseline", "--baseline", "hist2st", "--dataset", "synthetic",
+            "--checkpoint-dir", str(tmp_path), "--patch-cache",
+            str(tmp_path / "pc"), "--no-save"]
+
+    with pytest.raises(_Stop):
+        cli_main(base)
+    cfg = captured["cfg"]
+    assert cfg.weight_decay is None  # -> family default via resolver
+    assert bt.resolve_weight_decay(cfg) == bt._FAMILY_WD["hist2st"]
+    assert cfg.dropout == 0.2 and cfg.temperature == 1.0
+
+    with pytest.raises(_Stop):
+        cli_main(base + ["--weight_decay", "0.01", "--dropout", "0.3"])
+    cfg = captured["cfg"]
+    assert bt.resolve_weight_decay(cfg) == pytest.approx(0.01)
+    assert cfg.dropout == pytest.approx(0.3)
+
+
+def _tiny_hist2st_setup(rng, n=7, g=8, fig=14, coef_head=True):
+    """Tiny Hist2ST + one-slide batch dict for _slide_loss tests."""
+    model = Hist2ST(n_genes=g, fig_size=fig, patch_size=7, channel=16,
+                    depth1=1, depth2=1, depth3=2, heads=2, dropout=0.0,
+                    zinb=True, coef_head=coef_head)
+    patches = (rng.uniform(size=(n, fig, fig, 3)) * 255).astype(np.uint8)
+    pos = rng.integers(0, 64, size=(n, 2)).astype(np.int32)
+    adj = graph.knn_adjacency(pos.astype(float), k=3, prune="none")
+    batch = {
+        "patches": jnp.asarray(patches),
+        "positions": jnp.asarray(pos),
+        "expression": jnp.asarray(rng.normal(size=(n, g)).astype(np.float32)),
+        "counts": jnp.asarray(rng.poisson(3.0, size=(n, g)).astype(np.float32)),
+        "size_factors": jnp.asarray(rng.uniform(0.5, 2.0, size=n).astype(np.float32)),
+        "adj": jnp.asarray(adj.astype(np.float32)),
+        "mask": jnp.ones(n, bool),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch["patches"].astype(jnp.float32) / 255.0, batch["positions"],
+        batch["adj"], train=False, aug=coef_head,
+    )
+    return model, variables, batch
+
+
+@pytest.mark.slow
+def test_hist2st_slide_loss_pad_exact_with_zinb_and_bake(rng):
+    """The FULL per-slide loss — masked MSE + masked ZINB aux + bake
+    distillation with coef weighting and chained BN — is pad-exact: the
+    padded slide's (loss, new_batch_stats) equal the unpadded slide's.
+    Pins the round-4 mask fixes end to end (the reference trains unpadded,
+    HIST2ST.py:155-171 + NB_module.py)."""
+    from mclstexp_tpu.baselines.trainer import _slide_loss
+
+    n, pad = 7, 9
+    model, variables, batch = _tiny_hist2st_setup(rng, n=n)
+    cfg = BaselineConfig(model="hist2st", zinb_coef=0.25, bake=1, lamb=0.5,
+                         dropout=0.0, knn_k=3, knn_prune="none")
+    key = jax.random.PRNGKey(7)
+
+    loss, new_bs = _slide_loss(
+        model, cfg, variables["params"], variables["batch_stats"], batch, key)
+
+    def pad0(a, value=0):
+        w = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.asarray(np.pad(np.asarray(a), w, constant_values=value))
+
+    pbatch = {
+        "patches": pad0(batch["patches"]),
+        "positions": pad0(batch["positions"]),
+        "expression": pad0(batch["expression"]),
+        "counts": pad0(batch["counts"]),
+        "size_factors": jnp.concatenate(
+            [batch["size_factors"], jnp.ones(pad, jnp.float32)]),
+        "adj": jnp.zeros((n + pad, n + pad), jnp.float32).at[:n, :n].set(batch["adj"]),
+        "mask": jnp.concatenate([jnp.ones(n, bool), jnp.zeros(pad, bool)]),
+    }
+    loss_p, new_bs_p = _slide_loss(
+        model, cfg, variables["params"], variables["batch_stats"], pbatch, key)
+
+    np.testing.assert_allclose(float(loss_p), float(loss), rtol=5e-5)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(new_bs_p)[0],
+        jax.tree_util.tree_flatten_with_path(new_bs)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-5,
+            err_msg=f"bn{jax.tree_util.keystr(path)}")
+
+
+@pytest.mark.slow
+def test_hist2st_bake_chains_bn_stats(rng):
+    """BN running stats CHAIN through the bake forwards — _slide_loss's
+    returned batch_stats equal [main forward -> bake forward] applied
+    sequentially, NOT the bake update computed from the initial stats
+    (torch's aug() runs each bake in train mode so running_mean/var update
+    1+bake times per step, HIST2ST.py:160-166)."""
+    from mclstexp_tpu.baselines.trainer import _bake_augment, _slide_loss
+
+    model, variables, batch = _tiny_hist2st_setup(rng)
+    cfg = BaselineConfig(model="hist2st", zinb_coef=0.25, bake=1, lamb=0.5,
+                         dropout=0.0, knn_k=3, knn_prune="none")
+    key = jax.random.PRNGKey(11)
+    _, new_bs = _slide_loss(
+        model, cfg, variables["params"], variables["batch_stats"], batch, key)
+
+    # manual chain with the exact rng plumbing _slide_loss uses
+    drop_rng, bake_rng = jax.random.split(key)
+    pats = batch["patches"].astype(jnp.float32) / 255.0
+    args = (batch["positions"], batch["adj"])
+    _, upd1 = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        pats, *args, train=True, mask=batch["mask"],
+        mutable=["batch_stats"], rngs={"dropout": drop_rng})
+    bs1 = upd1["batch_stats"]
+    baked = _bake_augment(bake_rng, pats, 1)
+    _, upd2 = model.apply(
+        {"params": variables["params"], "batch_stats": bs1},
+        baked[0], *args, train=True, mask=batch["mask"], aug=True,
+        mutable=["batch_stats"],
+        rngs={"dropout": jax.random.fold_in(drop_rng, 1)})
+    bs2 = upd2["batch_stats"]
+
+    leaves_got = jax.tree_util.tree_flatten_with_path(new_bs)[0]
+    leaves_want = jax.tree_util.tree_flatten_with_path(bs2)[0]
+    for (path, b), (_, a) in zip(leaves_got, leaves_want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7,
+            err_msg=f"bn{jax.tree_util.keystr(path)}")
+    # non-vacuous: the chain moved the stats between forward 1 and 2
+    moved = any(
+        not np.allclose(np.asarray(x), np.asarray(y))
+        for (_, x), (_, y) in zip(
+            jax.tree_util.tree_flatten_with_path(bs1)[0], leaves_want)
+    )
+    assert moved, "bake forward did not update BN stats; chaining untested"
 
 
 @pytest.mark.slow
