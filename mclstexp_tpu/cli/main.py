@@ -288,9 +288,14 @@ def cmd_hvg(args) -> int:
     for s in sections:
         d = os.path.join(out_root, s.name)
         os.makedirs(d, exist_ok=True)
-        # reference layout: genes x spots (hvg_her2st.py:116-125)
-        np.save(os.path.join(d, "preprocessed_matrix.npy"), s.expression.T)
-        print(f"{s.name}: {s.expression.T.shape} -> {d}/preprocessed_matrix.npy")
+        # reference layout AND normalization: genes x spots, per-GENE
+        # library-size normalized (hvg_her2st.py:108,116-125 transposes
+        # before scprep's row-normalizer; see normalize.pergene_logcpm).
+        # Divergence: the reference pools ALL cnts-TSV spots, which can
+        # exceed the spotfile-joined spot set its own eval embeds — here the
+        # matrix covers exactly the joined spots so phase B can't misalign.
+        np.save(os.path.join(d, "preprocessed_matrix.npy"), s.eval_expression.T)
+        print(f"{s.name}: {s.eval_expression.T.shape} -> {d}/preprocessed_matrix.npy")
     return 0
 
 
@@ -404,7 +409,10 @@ def cmd_eval(args) -> int:
 
     check_positions_in_vocab(sections, cfg.model.pos_vocab)
     sizes = [s.num_spots for s in sections]
-    expressions = [s.expression for s in sections]
+    # Phase-B keys and ground truth use the eval normalization (per-gene,
+    # the hvg scripts' matrices — evel_her2st.py:136-171); the model still
+    # embeds the train-normalized expression (Section.eval_expression doc).
+    expressions = [s.eval_expression for s in sections]
 
     data = ConcatSections.from_sections(sections[:1])
     b = data.take(np.arange(min(8, sizes[0])))
@@ -421,7 +429,7 @@ def cmd_eval(args) -> int:
     # Ground-truth key expressions live in HBM ONCE for every fold; per-fold
     # key sets are the full device arrays with the held-out section masked
     # (evaluate_fold_resident) — no per-fold host concat + re-upload.
-    expr_full_dev = prepared["expression"]
+    expr_full_dev = prepared["eval_expression"]
     per_fold = []
     for fold in folds:
         if args.torch_checkpoint:
@@ -518,7 +526,7 @@ def cmd_predict(args) -> int:
         fold,
         embed.split_by_section(img, sizes)[fold],
         embed.split_by_section(spot, sizes),
-        [s.expression for s in sections],
+        [s.eval_expression for s in sections],  # phase-B normalization
         top_k=cfg.eval.top_k,
         weight_ord=cfg.eval.weight_ord,
         prediction_path=args.out,
@@ -708,7 +716,9 @@ def cmd_baseline(args) -> int:
             args.fold,
             embed.split_by_section(img, sizes)[args.fold],
             embed.split_by_section(spot, sizes),
-            [s.expression for s in sections],
+            # same phase-B key/GT files as the mclSTExp protocol (the
+            # notebook loads the hvg scripts' per-gene matrices)
+            [s.eval_expression for s in sections],
             top_k=top_k,
             weight_ord=weight_ord,
         )

@@ -70,3 +70,22 @@ def logcpm_panel(counts_panel: np.ndarray) -> np.ndarray:
     """The full reference preprocessing for a section already subset to the
     gene panel: log10(1 + 1e4 * x / libsize). Returns float32 (N, G)."""
     return log_transform(library_size_normalize(counts_panel))
+
+
+def pergene_logcpm(counts_panel: np.ndarray) -> np.ndarray:
+    """Per-GENE library-size normalization — the reference's *eval-phase*
+    matrices.
+
+    All three reference hvg scripts build ``preprocessed_matrix.npy`` by
+    transposing to genes x spots BEFORE scprep's row-normalizer
+    (``hvg_her2st.py:108,118-120``: ``adata[:, gene_list].X.T`` then
+    ``scp.transform.log(scp.normalize.library_size_normalize(mtx))`` —
+    likewise ``hvg_cscc.py:106,112-114`` and ``hvg_visium.py:218-243``), so
+    every GENE row is scaled to a 10,000 'library', unlike the per-SPOT
+    normalization the training datasets apply (``dataset.py:53,188``). The
+    eval protocol (``evel_her2st.py:136-171``) reads those files as both
+    retrieval keys and ground truth, making this quirk part of the headline
+    metrics. Returns float32 (N, G) — same layout as the train expression,
+    different values.
+    """
+    return log_transform(library_size_normalize(counts_panel.T)).T

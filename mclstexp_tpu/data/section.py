@@ -27,6 +27,25 @@ class Section:
     # counts.sum(1)/median, computed lazily)
 
     @property
+    def eval_expression(self) -> np.ndarray:
+        """Expression in the eval protocol's normalization.
+
+        The reference's phase-B retrieval keys and ground truth come from
+        the hvg scripts' per-GENE normalized matrices, not the per-SPOT
+        train-time normalization (see ``normalize.pergene_logcpm``). Where
+        raw counts are available, recompute that quirk; readers that load
+        already-per-gene matrices directly (visium, dataset.py:313) carry
+        no counts and fall back to ``expression`` unchanged.
+        """
+        if self.counts is None:
+            return self.expression
+        if getattr(self, "_eval_expression", None) is None:
+            from mclstexp_tpu.data.normalize import pergene_logcpm
+
+            self._eval_expression = pergene_logcpm(self.counts)
+        return self._eval_expression
+
+    @property
     def size_factors(self) -> Optional[np.ndarray]:
         if self.counts is None:
             return None

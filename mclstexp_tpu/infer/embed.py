@@ -61,11 +61,18 @@ def prepare_eval_arrays(sections: Sequence[Section], with_patches: bool = True):
 
     with_patches=False skips the patch upload entirely (the dominant H2D
     byte count) for spot-tower-only consumers — e.g. the serving database
-    (infer/serve.py), whose queries arrive over HTTP."""
+    (infer/serve.py), whose queries arrive over HTTP.
+
+    "expression" is the MODEL-INPUT normalization (per-spot, train parity);
+    "eval_expression" is the retrieval-key/ground-truth normalization the
+    reference's phase B reads from the hvg scripts' matrices (per-gene —
+    ``Section.eval_expression``). They alias the same device array when no
+    section carries raw counts (visium, whose loaded matrices already ARE
+    the per-gene files)."""
     import jax
 
     if not with_patches:
-        return {
+        prepared = {
             "n": sum(s.num_spots for s in sections),
             "patches": None,
             "expression": jax.device_put(
@@ -75,13 +82,21 @@ def prepare_eval_arrays(sections: Sequence[Section], with_patches: bool = True):
                 np.concatenate([s.positions for s in sections], axis=0)
             ),
         }
-    data = ConcatSections.from_sections(sections)
-    return {
-        "n": len(data),
-        "patches": jax.device_put(np.ascontiguousarray(data.patches)),
-        "expression": jax.device_put(data.expression),
-        "positions": jax.device_put(data.positions),
-    }
+    else:
+        data = ConcatSections.from_sections(sections)
+        prepared = {
+            "n": len(data),
+            "patches": jax.device_put(np.ascontiguousarray(data.patches)),
+            "expression": jax.device_put(data.expression),
+            "positions": jax.device_put(data.positions),
+        }
+    if any(s.counts is not None for s in sections):
+        prepared["eval_expression"] = jax.device_put(
+            np.concatenate([s.eval_expression for s in sections], axis=0)
+        )
+    else:
+        prepared["eval_expression"] = prepared["expression"]
+    return prepared
 
 
 def compute_embeddings(

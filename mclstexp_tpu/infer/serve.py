@@ -188,7 +188,9 @@ class PredictionService:
             model, params, batch_stats, sections, batch_size,
             as_device=True, tower="spot",
         )
-        expr = np.concatenate([s.expression for s in sections], axis=0)
+        # Key profiles use the eval-protocol normalization (per-gene where
+        # counts exist — phase B's matrices, Section.eval_expression).
+        expr = np.concatenate([s.eval_expression for s in sections], axis=0)
         if exclude_section is not None:
             sizes = [s.expression.shape[0] for s in sections]
             mask = np.ones(sum(sizes), bool)

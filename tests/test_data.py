@@ -35,6 +35,55 @@ def test_log_transform_base10():
     )
 
 
+def test_pergene_logcpm_is_per_gene(rng):
+    """The eval-phase normalization (hvg scripts' genes x spots orientation,
+    hvg_her2st.py:108,118-120): each GENE's unlogged values sum to the
+    10,000 'library', and the result differs from the per-spot train-time
+    normalization on the same counts."""
+    counts = rng.poisson(6.0, size=(7, 11)).astype(np.float32) + 1.0
+    out = normalize.pergene_logcpm(counts)
+    assert out.shape == counts.shape and out.dtype == np.float32
+    np.testing.assert_allclose(
+        (10.0 ** out.astype(np.float64) - 1.0).sum(axis=0), 10000.0, rtol=1e-5
+    )
+    assert np.abs(out - normalize.logcpm_panel(counts)).max() > 0.01
+
+
+def test_section_eval_expression():
+    """Section.eval_expression: per-gene recompute from counts (cached), and
+    pass-through when counts are absent (visium's already-per-gene load)."""
+    from mclstexp_tpu.data.section import Section
+
+    rng = np.random.default_rng(3)
+    counts = rng.poisson(5.0, size=(6, 9)).astype(np.float32)
+    expr = normalize.logcpm_panel(counts)
+    pos = np.zeros((6, 2), np.int32)
+    s = Section("s", expr, pos, pos, counts=counts)
+    np.testing.assert_array_equal(s.eval_expression, normalize.pergene_logcpm(counts))
+    assert s.eval_expression is s.eval_expression  # cached
+    s2 = Section("t", expr, pos, pos, counts=None)
+    assert s2.eval_expression is expr
+
+
+def test_prepare_eval_arrays_eval_expression():
+    """prepare_eval_arrays carries both normalizations; they alias when no
+    section has counts."""
+    from mclstexp_tpu.infer import embed
+
+    sections = synthetic.make_dataset(num_sections=2, num_spots=10,
+                                      num_genes=6, patch_size=8)
+    prepared = embed.prepare_eval_arrays(sections)
+    expect = np.concatenate([s.eval_expression for s in sections], axis=0)
+    np.testing.assert_array_equal(np.asarray(prepared["eval_expression"]), expect)
+    assert np.abs(np.asarray(prepared["eval_expression"])
+                  - np.asarray(prepared["expression"])).max() > 0.01
+    import dataclasses
+
+    no_counts = [dataclasses.replace(s, counts=None) for s in sections]
+    prepared2 = embed.prepare_eval_arrays(no_counts)
+    assert prepared2["eval_expression"] is prepared2["expression"]
+
+
 def test_normalize_total_median_target(rng):
     counts = rng.poisson(4.0, size=(8, 10)).astype(float)
     out = normalize.normalize_total(counts)
