@@ -191,6 +191,48 @@ def probe_tunnel(jax) -> dict:
     return out
 
 
+def probe_device(jax, smoke: bool = False) -> dict:
+    """Device-health probe: achieved HBM bandwidth on a pure streaming
+    kernel, plus the device kind.
+
+    Motivation (r5): the SAME cached flagship HLO measured 58.1 and 75.3
+    ms/step device-busy on different TPU grants (PROFILE_r05.md) — ~30%
+    cross-session hardware variance that no amount of within-session
+    windowing can arbitrate. This number makes a slow grant self-evident
+    in the bench record: a healthy v5e session streams near its 819 GB/s
+    HBM peak; a degraded grant reads proportionally lower, and the train
+    headline should be interpreted against it.
+
+    One jitted program (single dispatch, single 4-byte value readback — the
+    tunnel's dispatch/readback latencies stay out of the measured window's
+    denominator at the ~1 s scale): ``fori_loop`` of N elementwise
+    read+write passes over a large fp32 buffer, then a reduction."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    n_elems = (1 << 20) if smoke else (128 << 20)  # 4 MB / 512 MB fp32
+    iters = 4 if smoke else 800
+
+    @jax.jit
+    def stream(x):
+        x = lax.fori_loop(0, iters, lambda i, v: v * 1.0000001 + 1e-7, x)
+        return jnp.sum(x)
+
+    x = jax.device_put(np.ones((n_elems,), np.float32))
+    float(stream(x))  # compile + warm
+    t0 = time.perf_counter()
+    float(stream(x))
+    dt = time.perf_counter() - t0
+    gb = iters * 2 * n_elems * 4 / 1e9  # read + write per pass
+    out = {
+        "device_kind": jax.devices()[0].device_kind,
+        "hbm_gbps_probe": round(gb / dt, 1),
+    }
+    _log(f"device probe: {out['device_kind']}, streaming "
+         f"{out['hbm_gbps_probe']} GB/s ({gb:.0f} GB in {dt:.2f}s)")
+    return out
+
+
 def measure_ref_baseline() -> tuple:
     """(spots/sec, provenance string) for the vs_baseline denominator."""
     try:
@@ -346,6 +388,7 @@ def main():
     dev = jax.devices()[0]
     _log(f"device: {dev}")
     tunnel = probe_tunnel(jax)
+    tunnel.update(probe_device(jax, smoke=smoke))
 
     # The vs_baseline denominator is host-only PIL work (~seconds) — measure
     # it BEFORE the train windows so the first emitted headline already

@@ -55,6 +55,9 @@ def _run_bench(extra_env, timeout):
 HEADLINE_KEYS = {
     "metric", "value", "vs_baseline", "ref_baseline_spots_per_sec",
     "train_ms_per_step", "tunnel_put_mb_per_s", "tunnel_get_mb_per_s",
+    # device-health probe (r5): a slow TPU grant must be self-evident in
+    # the record — see bench.probe_device
+    "device_kind", "hbm_gbps_probe",
 }
 
 
