@@ -51,6 +51,15 @@ def find_matches(
     folds: instead of re-concatenating the 31 kept sections per fold
     (reference ``evel_her2st.py:150-156``), the held-out section's rows are
     masked out — identical selection, zero per-fold H2D.
+
+    Tie-break (documented divergence): among exactly tied scores,
+    ``lax.top_k`` deterministically returns the lowest indices; the
+    reference's ``torch.topk`` (``evel_her2st.py:82``) is UNSPECIFIED there
+    (probed on CPU: arbitrary subset, arbitrary order). Ties require
+    bit-identical spot embeddings, unreachable in the reference's default
+    flow, and whenever the protocol output is well-defined under ties the
+    two agree (tests: test_quirks.test_topk_tie_break_quirk,
+    test_reference_eval_ab.test_her2st_phase_b_tie_break_ab).
     """
     k = l2_normalize(key_emb.astype(jnp.float32))
     q = l2_normalize(query_emb.astype(jnp.float32))

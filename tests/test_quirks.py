@@ -156,3 +156,57 @@ def test_train_step_visium_raw_scale(rng):
     _, loss_unit = make_train_step(model, augment_mode="tenx", donate=False,
                                    tenx_raw_scale=False)(state, batch, rng_step)
     assert float(loss_raw) != float(loss_unit)
+
+
+def test_topk_tie_break_quirk(rng):
+    """Exact-duplicate key embeddings (tied cosine scores) straddling the
+    top-K cut: a DOCUMENTED DIVERGENCE from the reference.
+
+    The reference selects via torch.topk (evel_her2st.py:82), whose choice
+    among exactly tied scores is UNSPECIFIED — probed on torch 2.x CPU it
+    returns an arbitrary subset in arbitrary order (topk(ones(10), 4) ->
+    {5,6,7,8}), an artifact of its partition-based kernel, not protocol
+    intent. Our lax.top_k is deterministic: lowest index first. On every
+    reference protocol run scores are continuous (float cosine of learned
+    embeddings — ties occur only for bit-identical spot embeddings), so the
+    reachable flow is unaffected; with ties, the reference's own output is
+    implementation-arbitrary and we pin the deterministic choice instead
+    (quirk policy: don't reproduce behavior the reference itself doesn't
+    define). The A/B counterpart (test_reference_eval_ab.py: tie-break
+    case) shows the four protocol averages still match the reference's
+    script on tie-heavy data whenever tied keys carry equal expression —
+    i.e. whenever the protocol's OUTPUT is actually well-defined."""
+    from mclstexp_tpu.ops import retrieval
+
+    nk_tail, n_tied, d, g, k = 30, 12, 8, 5, 8
+    v = rng.normal(size=d).astype(np.float32)
+    key_emb = np.concatenate([
+        np.tile(v, (n_tied, 1)),                      # ranks 1..12 (tied)
+        rng.normal(size=(nk_tail, d)).astype(np.float32) * 0.05,
+    ])
+    # every query aligned with v: the 12-way tie straddles the K=8 cut
+    query = (np.tile(v, (3, 1))
+             + 0.01 * rng.normal(size=(3, d)).astype(np.float32))
+
+    # 1) OUR tie-break is deterministic lowest-index (lax.top_k contract)
+    _, idx = retrieval.find_matches(jnp.asarray(key_emb), jnp.asarray(query),
+                                    top_k=k)
+    np.testing.assert_array_equal(np.asarray(idx),
+                                  np.tile(np.arange(k), (3, 1)))
+    _, idx_s = retrieval.streaming_topk(jnp.asarray(key_emb),
+                                        jnp.asarray(query), k, chunk_size=7)
+    np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx))
+
+    # 2) when tied keys carry one expression, the prediction is invariant
+    # to ANY k-subset of the tie group — the only regime where the
+    # reference protocol's output is well-defined; both paths return it
+    x = rng.normal(size=g).astype(np.float32)
+    key_expr = np.concatenate([
+        np.tile(x, (n_tied, 1)),
+        rng.normal(size=(nk_tail, g)).astype(np.float32),
+    ])
+    for streaming in (False, True):
+        _, pred = retrieval.retrieve_and_aggregate(
+            key_emb, key_expr, query, top_k=k, weight_ord=1,
+            streaming=streaming)
+        np.testing.assert_allclose(pred, np.tile(x, (3, 1)), rtol=1e-5)

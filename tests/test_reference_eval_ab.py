@@ -327,3 +327,70 @@ def test_visium_phase_b_protocol_ab(tmp_path, monkeypatch):
     ours = _run_our_cli("visium", dumps, pre, tmp_path)
     assert ours["folds"] == list(range(9))
     _assert_match(ref_avg, ours)
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_DIR),
+                    reason="reference checkout not mounted")
+def test_her2st_phase_b_tie_break_ab(tmp_path, monkeypatch):
+    """Duplicate-distance ties straddling the top-K cut (VERDICT r4 #5b).
+
+    torch.topk's choice among exactly tied scores is UNSPECIFIED (probed:
+    an arbitrary subset in arbitrary order — see
+    test_quirks.test_topk_tie_break_quirk), so the reference's output on
+    tied keys with DISTINCT expressions is implementation-arbitrary. This
+    A/B therefore pins the regime where the protocol's output IS
+    well-defined: a 250-row tie group (two sections x 125 bit-identical
+    spot embeddings, one shared expression row) straddles the K=200 cut
+    (evel_her2st.py:174-187) for every fold that keeps both sections —
+    whichever 200-subset either implementation selects, the equal 1/d^2
+    weights over one expression make the prediction invariant, and the four
+    printed averages must still match. Divergence here would mean the tie
+    handling leaks into well-defined outputs; the distinct-expression case
+    is documented as a quirk, not reproduced."""
+    rng = np.random.default_rng(29)
+    all_names = [f"{c}{d}" for c in "ABCDEFGHIJK" for d in "123"][:33]
+    cnts = tmp_path / "ST-cnts"
+    cnts.mkdir()
+    for nm in all_names:
+        (cnts / f"{nm}.tsv.gz").touch()
+    names = sorted(all_names)[1:33]
+
+    sizes = [int(rng.integers(36, 61)) for _ in names]
+    sizes[1] = sizes[2] = 160  # 125 tied + 35 organic rows each
+    exprs, spots, imgs = _make_dataset(rng, sizes, n_genes=65)
+
+    # the tie vector: mean image embedding — ranks above every organic key
+    # for essentially every query (cos ~0.8 vs ~0.64 pairwise), so the
+    # 250-row group occupies ranks 1..250 and the K=200 cut falls inside it
+    v = np.mean(np.concatenate(imgs), axis=0).astype(np.float32)
+    x = np.abs(rng.normal(size=65)).astype(np.float32)
+    x[-1] = 0.0  # keep the NaN-PCC gene all-zero
+    for sec in (1, 2):
+        spots[sec][:125] = v
+        exprs[sec][:125] = x
+
+    dumps = _write_reference_tree(str(tmp_path), "her2st", "her2st_result",
+                                  names, exprs, spots, imgs)
+    gene_npy = tmp_path / "her_hvg_cut_1000.npy"
+    np.save(gene_npy, np.asarray([f"g{i}" for i in range(65)], dtype=object),
+            allow_pickle=True)
+
+    monkeypatch.chdir(tmp_path)
+    stdout = _run_reference_script(
+        os.path.join(REFERENCE_DIR, "evel_her2st.py"),
+        patches=[
+            ("from model import mclSTExp_Attention", ""),
+            ("from dataset import HERDataset", ""),
+            ("from train import generate_args", ""),
+            ('names = os.listdir(r"D:\\dataset\\Her2st\\data/ST-cnts")',
+             f"names = os.listdir({str(cnts)!r})"),
+            ('gene_list_path = "D:\\dataset\\Her2st\\data/her_hvg_cut_1000.npy"',
+             f"gene_list_path = {str(gene_npy)!r}"),
+        ],
+    )
+    ref_avg = _parse_averages(stdout)
+
+    pre = _write_our_preprocessed(str(tmp_path), "her2st", names, exprs)
+    ours = _run_our_cli("her2st", dumps, pre, tmp_path)
+    assert ours["folds"] == list(range(32))
+    _assert_match(ref_avg, ours)
