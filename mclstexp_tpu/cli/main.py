@@ -27,18 +27,30 @@ import numpy as np
 
 
 def _add_model_flags(p: argparse.ArgumentParser):
-    # reference train.py:13-26 flags, same names/defaults
-    p.add_argument("--batch_size", type=int, default=128)
-    p.add_argument("--max_epochs", type=int, default=90)
+    # reference train.py:13-26 flags, same names. Flags whose value the
+    # dataset PRESET may override (config.PRESETS — notably synthetic's
+    # tiny_cnn/32-dim model) default to None = "preset default"; for the
+    # real datasets the presets inherit the ModelConfig/TrainConfig
+    # defaults, which equal the reference's argparse defaults, so an unset
+    # flag still means the reference value there. (Before this fallback the
+    # CLI defaults silently clobbered the synthetic preset and `--dataset
+    # synthetic` trained DenseNet121 on 224px patches.)
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="default: preset (reference 128)")
+    p.add_argument("--max_epochs", type=int, default=None,
+                   help="default: preset (reference 90); baselines: "
+                        "per-family reference epochs")
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--dim", type=int, default=None, help="spot dim (# HVGs); preset default")
     p.add_argument("--image_embedding_dim", type=int, default=None)
-    p.add_argument("--projection_dim", type=int, default=256)
+    p.add_argument("--projection_dim", type=int, default=None,
+                   help="default: preset (reference 256)")
     p.add_argument("--heads_num", type=int, default=8)
     p.add_argument("--heads_dim", type=int, default=64)
     p.add_argument("--heads_layers", type=int, default=2)
     p.add_argument("--dropout", type=float, default=0.0)
-    p.add_argument("--encoder_name", type=str, default="densenet121")
+    p.add_argument("--encoder_name", type=str, default=None,
+                   help="default: preset (reference densenet121)")
     p.add_argument("--pretrained", type=str, default="",
                    help="torch .pt with ImageNet-pretrained tower weights "
                         "(torchvision/timm state_dict); training starts from "
@@ -74,8 +86,9 @@ def _add_data_flags(p: argparse.ArgumentParser):
     p.add_argument("--preprocessed-root", type=str,
                    default="data/preprocessed_expression_matrices")
     p.add_argument("--patch-cache", type=str, default="patch_cache")
-    p.add_argument("--patch-size", type=int, default=224,
-                   help="224 for the contrastive model; 112 for the slide baselines")
+    p.add_argument("--patch-size", type=int, default=None,
+                   help="default: preset (224 for the contrastive model); "
+                        "pass 112 for the slide baselines")
     p.add_argument("--no-pos-remap", action="store_true",
                    help="disable the dense coordinate remap even where the "
                         "preset enables it (visium) — needed to load "
@@ -88,12 +101,14 @@ def _build_config(args) -> "Config":
     from mclstexp_tpu.config import ENCODER_DIMS, get_config
 
     cfg = get_config(args.dataset)
+    encoder = args.encoder_name or cfg.model.encoder_name
     model = dataclasses.replace(
         cfg.model,
-        encoder_name=args.encoder_name,
-        image_dim=args.image_embedding_dim or ENCODER_DIMS[args.encoder_name],
+        encoder_name=encoder,
+        image_dim=args.image_embedding_dim
+        or (ENCODER_DIMS[encoder] if args.encoder_name else cfg.model.image_dim),
         spot_dim=args.dim or cfg.model.spot_dim,
-        projection_dim=args.projection_dim,
+        projection_dim=args.projection_dim or cfg.model.projection_dim,
         heads_num=args.heads_num,
         heads_dim=args.heads_dim,
         head_layers=args.heads_layers,
@@ -104,8 +119,9 @@ def _build_config(args) -> "Config":
     )
     train = dataclasses.replace(
         cfg.train,
-        batch_size=args.batch_size,
-        max_epochs=args.max_epochs,
+        batch_size=args.batch_size or cfg.train.batch_size,
+        max_epochs=(args.max_epochs
+                    if args.max_epochs is not None else cfg.train.max_epochs),
         lr=args.lr if args.lr is not None else cfg.train.lr,
         weight_decay=args.weight_decay,
         seed=args.seed,
@@ -118,7 +134,7 @@ def _build_config(args) -> "Config":
         gene_panel=args.gene_panel,
         preprocessed_root=getattr(args, "preprocessed_root", cfg.data.preprocessed_root),
         patch_cache_dir=args.patch_cache,
-        patch_size=getattr(args, "patch_size", cfg.data.patch_size),
+        patch_size=getattr(args, "patch_size", None) or cfg.data.patch_size,
         pos_remap=(cfg.data.pos_remap
                    and not getattr(args, "no_pos_remap", False)),
     )
@@ -645,7 +661,9 @@ def cmd_baseline(args) -> int:
         zinb_coef=args.zinb,
         bake=args.bake,
         lamb=args.lamb,
-        batch_size=args.batch_size,
+        # None (unset) keeps the BLEEP reference batch (BaselineConfig 128);
+        # max_epochs likewise falls through to the per-family epochs above
+        batch_size=args.batch_size or BaselineConfig.batch_size,
         dtype=args.dtype,
         encoder_name=args.bleep_encoder,
     )

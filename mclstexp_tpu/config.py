@@ -214,8 +214,11 @@ PRESETS = {
         ),
         train=TrainConfig(batch_size=32, max_epochs=2),
         eval=EvalConfig(batch_size=16, top_k=8, weight_ord=1),
-        # LOO protocol: num_folds == number of sections (make_dataset default 3)
-        data=DataConfig(dataset="synthetic", num_folds=3),
+        # LOO protocol: num_folds == number of sections (make_dataset default 3).
+        # patch_size matches make_dataset's 32px synthetic patches — the CLI
+        # falls back here, so `--dataset synthetic` doesn't cut 224px patches
+        # through the tiny tower (49x the pixels for zero extra coverage).
+        data=DataConfig(dataset="synthetic", num_folds=3, patch_size=32),
     ),
 }
 

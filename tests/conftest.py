@@ -21,18 +21,24 @@ jax.config.update("jax_platforms", "cpu")
 
 
 def _machine_tag() -> str:
-    """Fingerprint the host CPU for the persistent-cache path: XLA:CPU AOT
-    artifacts encode the COMPILE machine's vector features, and reusing a
-    cache written on a different host silently computes WRONG numbers
-    (observed: a stale cache made the reference-A/B forward loss come out
-    3.170 vs the correct 3.002, with cpu_aot_loader feature-mismatch
-    warnings). Key the cache by the CPU flags so each host gets its own."""
+    """Fingerprint host CPU + XLA build for the persistent-cache path:
+    XLA:CPU AOT artifacts encode the COMPILE machine's vector features AND
+    compiler tuning flags, and reusing a cache written under a different
+    build silently computes WRONG numbers or livelocks (observed twice: a
+    stale cache made the reference-A/B forward loss come out 3.170 vs the
+    correct 3.002; a jaxlib upgrade changed the +prefer-no-scatter/-gather
+    tuning features on an IDENTICAL CPU and the cached executables spun
+    forever with cpu_aot_loader feature-mismatch warnings). Key the cache
+    by CPU flags + jax/jaxlib versions so each (host, build) is its own."""
     try:
         with open("/proc/cpuinfo") as f:
             flags = next((line for line in f if line.startswith("flags")), "")
     except OSError:  # non-Linux
         flags = platform.processor() or platform.machine()
-    return hashlib.sha1(flags.encode()).hexdigest()[:10]
+    import jaxlib
+
+    key = f"{flags}|jax={jax.__version__}|jaxlib={jaxlib.__version__}"
+    return hashlib.sha1(key.encode()).hexdigest()[:10]
 
 
 # XLA CPU compiles dominate suite runtime (end-to-end/CLI tests build many
