@@ -494,6 +494,7 @@ def cmd_eval(args) -> int:
             fold, img, spot, expr_full_dev, bounds, expressions[fold],
             top_k=cfg.eval.top_k, weight_ord=cfg.eval.weight_ord,
             prediction_path=pred_path,
+            device_metrics=getattr(args, "device_metrics", False),
         ))
 
     results = {
@@ -895,6 +896,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "'model_result/her2st/{name}/best_{fold}.pt'; scores "
                         "reference-trained checkpoints without retraining")
     p.add_argument("--json", type=str, default="", help="write full results JSON")
+    p.add_argument("--device-metrics", action="store_true",
+                   help="compute the per-fold metric bundle on-device (fp32, "
+                        "one 4-scalar readback per fold instead of the full "
+                        "prediction matrix; rtol 3e-5 vs the fp64 default)")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("predict", help="predict expression for one section")

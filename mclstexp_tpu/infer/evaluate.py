@@ -69,6 +69,7 @@ def evaluate_fold_resident(
     top_k: int,
     weight_ord: int = 1,
     prediction_path: Optional[str] = None,
+    device_metrics: bool = False,
 ) -> Dict[str, float]:
     """Device-resident form of ``evaluate_fold`` (ADVICE/VERDICT r2: the
     host path re-concatenates 31 sections' embeddings + expressions and
@@ -76,6 +77,12 @@ def evaluate_fold_resident(
     stays in HBM across folds and the held-out section is excluded by a
     score mask instead of re-concatenation — identical retrieval (masked
     rows can never enter the top-K), O(bytes of one bool vector) per fold.
+
+    device_metrics=True keeps the reduction on-device too: the (N_fold, G)
+    prediction never crosses the host link and the fold returns from a
+    single 4-scalar readback (``metrics.expression_metrics_device`` — fp32,
+    pinned to the fp64 host bundle at rtol 3e-5; the host gt is still used
+    for HEG selection so argsort tie-breaking is exact).
     """
     start, stop = bounds[fold]
     n_total = spot_embeddings_full.shape[0]
@@ -88,11 +95,20 @@ def evaluate_fold_resident(
         top_k=top_k,
         weight_ord=weight_ord,
         key_mask=mask,
+        as_device=device_metrics,
     )
     if prediction_path:
         # dirname('') of a bare filename would crash makedirs
         os.makedirs(os.path.dirname(prediction_path) or ".", exist_ok=True)
-        np.save(prediction_path, pred_expr.T)  # genes x spots layout
+        np.save(prediction_path, np.asarray(pred_expr).T)  # genes x spots
+    if device_metrics:
+        from mclstexp_tpu.infer.metrics import expression_metrics_device, heg_indices
+
+        # gt rows already live on-device inside expressions_full; only the
+        # HEG argsort runs on the host copy (exact reference tie-break).
+        return expression_metrics_device(
+            pred_expr, expressions_full[start:stop], heg_indices(expression_gt, 50)
+        )
     return expression_metrics(pred_expr, expression_gt)
 
 

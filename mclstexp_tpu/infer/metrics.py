@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from typing import Dict, Sequence, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -71,6 +73,59 @@ def expression_metrics(
         "heg_pcc": float(np.mean(heg_pcc)),  # reference takes the raw mean
         "mse": mse(pred, true),
         "mae": mae(pred, true),
+    }
+
+
+@jax.jit
+def _metrics_device(pred: jax.Array, true: jax.Array, heg_idx: jax.Array) -> jax.Array:
+    """fp32 on-device [hvg_pcc, heg_pcc, mse, mae] (see the host bundle)."""
+    pred = pred.astype(jnp.float32)
+    true = true.astype(jnp.float32)
+
+    def pcc(p, t):
+        pc = p - p.mean(axis=0)
+        tc = t - t.mean(axis=0)
+        denom2 = (pc**2).sum(axis=0) * (tc**2).sum(axis=0)
+        r = (pc * tc).sum(axis=0) / jnp.sqrt(jnp.where(denom2 == 0, 1.0, denom2))
+        return jnp.where(denom2 == 0, jnp.nan, jnp.clip(r, -1.0, 1.0))
+
+    r = pcc(pred, true)
+    valid = ~jnp.isnan(r)
+    n_valid = valid.sum()
+    hvg = jnp.where(
+        n_valid == 0,
+        jnp.nan,  # host: np.mean of an empty valid set is NaN
+        jnp.where(valid, r, 0.0).sum() / jnp.maximum(n_valid, 1),
+    )
+    heg = jnp.mean(  # raw mean — NaN propagates, like the reference
+        pcc(jnp.take(pred, heg_idx, axis=1), jnp.take(true, heg_idx, axis=1))
+    )
+    err = true - pred
+    return jnp.stack([hvg, heg, jnp.mean(err * err), jnp.mean(jnp.abs(err))])
+
+
+def expression_metrics_device(
+    pred: jax.Array, true: jax.Array, heg_idx: np.ndarray
+) -> Dict[str, float]:
+    """``expression_metrics`` computed on-device in fp32: one 4-scalar
+    readback instead of shipping the (N, G) prediction to the host.
+
+    Agreement with the fp64 host bundle is fp32-tight (pinned to
+    rtol 3e-5 incl. the NaN-drop/NaN-propagation policies,
+    ``tests/test_device_metrics.py``) — an opt-in fast path for the LOO
+    fold loop (``evaluate_fold_resident(device_metrics=True)``), not the
+    scipy-golden parity default. ``heg_idx`` must come from
+    ``heg_indices`` on the HOST ground truth so the reference's argsort
+    tie-breaking (``evel_her2st.py:201-205``) is preserved exactly.
+    """
+    vals = np.asarray(
+        _metrics_device(pred, true, jnp.asarray(np.ascontiguousarray(heg_idx)))
+    )
+    return {
+        "hvg_pcc": float(vals[0]),
+        "heg_pcc": float(vals[1]),
+        "mse": float(vals[2]),
+        "mae": float(vals[3]),
     }
 
 

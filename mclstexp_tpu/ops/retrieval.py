@@ -199,6 +199,7 @@ def retrieve_and_aggregate(
     streaming: "bool | None" = None,
     key_mask=None,
     streaming_bf16: bool = False,
+    as_device: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Full retrieval inference: (pred_embeddings, pred_expression).
 
@@ -223,6 +224,11 @@ def retrieve_and_aggregate(
     (halves the scan's HBM traffic; fp32 accumulation — see
     ``streaming_topk``). Only affects the streaming path; aggregation stays
     fp32 on the original unnormalized embeddings either way.
+
+    as_device: return device arrays instead of host ndarrays — for
+    consumers that keep reducing on-device (the device-metrics fold loop,
+    ``infer/evaluate.evaluate_fold_resident(device_metrics=True)``), so the
+    (Nq, G) prediction never crosses the host link.
     """
     key_emb_j = jnp.asarray(key_emb, dtype=jnp.float32)
     key_expr_j = jnp.asarray(key_expr, dtype=jnp.float32)
@@ -270,6 +276,14 @@ def retrieve_and_aggregate(
             chunk_i = jnp.concatenate(
                 [chunk_i, jnp.zeros((chunk_size - b, chunk_i.shape[1]), chunk_i.dtype)])
         pe, px = _aggregate_chunk(key_emb_j, key_expr_j, chunk_q, chunk_i, weight_ord)
-        pred_embs.append(np.asarray(pe)[:b])
-        pred_exprs.append(np.asarray(px)[:b])
+        if as_device:
+            pred_embs.append(pe[:b])
+            pred_exprs.append(px[:b])
+        else:
+            pred_embs.append(np.asarray(pe)[:b])
+            pred_exprs.append(np.asarray(px)[:b])
+    if as_device:
+        if len(pred_embs) == 1:
+            return pred_embs[0], pred_exprs[0]
+        return jnp.concatenate(pred_embs, axis=0), jnp.concatenate(pred_exprs, axis=0)
     return np.concatenate(pred_embs, axis=0), np.concatenate(pred_exprs, axis=0)

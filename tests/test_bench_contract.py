@@ -93,7 +93,8 @@ def test_bench_full_smoke_schema():
         "visium_train_ms_per_step", "eval_spots_per_sec",
         "retrieval_queries_per_sec", "streaming_retrieval_queries_per_sec",
         "streaming_retrieval_bf16_queries_per_sec", "fold_eval_host_ms",
-        "fold_eval_resident_ms", "slide_attn_xla_ms", "elapsed_s",
+        "fold_eval_resident_ms", "fold_eval_device_ms", "slide_attn_xla_ms",
+        "elapsed_s",
     ):
         assert key in last, key
     # window stats are well-formed (median within [min, max], n recorded)

@@ -58,6 +58,18 @@ def test_cli_full_flow(tmp_path):
     for k in ("heg_pcc", "hvg_pcc", "mse", "mae"):
         assert np.isfinite(results["avg"][k])
 
+    # --device-metrics: same protocol, fold bundles reduced on-device
+    # (fp32, 4-scalar readback) — must agree with the fp64 host path
+    dev_json = tmp_path / "results_dev.json"
+    rc = main(["eval", "--device-metrics", "--json", str(dev_json)]
+              + _flags(tmp_path, []))
+    assert rc == 0
+    dev_results = json.loads(dev_json.read_text())
+    for k in ("heg_pcc", "hvg_pcc", "mse", "mae"):
+        np.testing.assert_allclose(
+            dev_results["avg"][k], results["avg"][k], rtol=1e-4, atol=1e-5,
+            err_msg=f"--device-metrics diverged on {k}")
+
     # predict: one section's expression from its fold checkpoint
     ckpt_dir = str(ckpts[0])
     out_npy = tmp_path / "pred.npy"
