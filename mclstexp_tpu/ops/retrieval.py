@@ -143,20 +143,20 @@ def streaming_topk(
     return vals, idx
 
 
-@functools.partial(jax.jit, static_argnames=("weight_ord",))
-def _aggregate_chunk(
-    key_emb: jax.Array,  # (Nk, D) unnormalized
-    key_expr: jax.Array,  # (Nk, G)
-    query_chunk: jax.Array,  # (C, D) unnormalized
-    indices: jax.Array,  # (C, K)
+def aggregate_from_selected(
+    sel_emb: jax.Array,  # (C, K, D) retrieved unnormalized embeddings
+    sel_expr: jax.Array,  # (C, K, G) retrieved expression profiles
+    query_chunk: jax.Array,  # (C, D) unnormalized queries
     weight_ord: int,
 ) -> Tuple[jax.Array, jax.Array]:
-    sel_emb = jnp.take(key_emb, indices, axis=0)  # (C, K, D)
+    """Protocol weighting + weighted average over gathered top-K tiles —
+    shared by the single-chip path below and the mesh-sharded engine
+    (``ops/retrieval_sharded.py``, where the tiles arrive via psum)."""
     if weight_ord == 0:
         # uniform weights — BLEEP's "average" retrieval mode
         # (reference BLEEP_inference.ipynb cell 5)
-        k = indices.shape[1]
-        w = jnp.full(indices.shape, 1.0 / k, jnp.float32)
+        k = sel_emb.shape[1]
+        w = jnp.full(sel_emb.shape[:2], 1.0 / k, jnp.float32)
     elif weight_ord == -1:
         # BLEEP's "weighted_average" mode (BLEEP_inference.ipynb cell 5):
         # w_j = exp(-(d_j^2 - d_0^2 + 1)) over the top-K, where d^2 is the
@@ -176,11 +176,23 @@ def _aggregate_chunk(
         w = 1.0 / jnp.square(d)
         w = w / jnp.sum(w, axis=-1, keepdims=True)  # (C, K)
     pred_emb = jnp.einsum("ck,ckd->cd", w, sel_emb, preferred_element_type=jnp.float32)
-    sel_expr = jnp.take(key_expr, indices, axis=0)  # (C, K, G)
     pred_expr = jnp.einsum(
         "ck,ckg->cg", w, sel_expr, preferred_element_type=jnp.float32
     )
     return pred_emb, pred_expr
+
+
+@functools.partial(jax.jit, static_argnames=("weight_ord",))
+def _aggregate_chunk(
+    key_emb: jax.Array,  # (Nk, D) unnormalized
+    key_expr: jax.Array,  # (Nk, G)
+    query_chunk: jax.Array,  # (C, D) unnormalized
+    indices: jax.Array,  # (C, K)
+    weight_ord: int,
+) -> Tuple[jax.Array, jax.Array]:
+    sel_emb = jnp.take(key_emb, indices, axis=0)  # (C, K, D)
+    sel_expr = jnp.take(key_expr, indices, axis=0)  # (C, K, G)
+    return aggregate_from_selected(sel_emb, sel_expr, query_chunk, weight_ord)
 
 
 # Above this many score-matrix elements the dense (Nq, Nk) materialization
