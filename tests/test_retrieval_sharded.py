@@ -111,6 +111,46 @@ def test_sharded_tie_break_lowest_global_index(rng, mesh):
     assert idx[0, 0] == 3  # the lowest-index duplicate wins for query 0
 
 
+@pytest.mark.parametrize("trial", range(8))
+def test_fuzz_sharded_matches_dense(mesh, trial):
+    # Random shapes/masks/K/weights vs the dense engine (which is itself
+    # fuzz-pinned to the NumPy protocol in test_retrieval_fuzz.py) —
+    # selection must be index-identical, aggregation fp32-tight.
+    r = np.random.default_rng(3000 + trial)
+    nk = int(r.integers(9, 260))  # > 8 so every device can own >= 1 row
+    nq = int(r.integers(1, 30))
+    d = int(r.choice([4, 16]))
+    g = int(r.choice([3, 10]))
+    top_k = int(r.integers(1, nk + 8))  # may exceed the active count
+    ord_ = int(r.choice([-1, 0, 1, 2]))
+    query_chunk = int(r.choice([8, 32]))
+
+    key_emb = r.normal(size=(nk, d)).astype(np.float32)
+    key_expr = r.normal(size=(nk, g)).astype(np.float32)
+    query = r.normal(size=(nq, d)).astype(np.float32)
+    mask = None
+    if r.integers(0, 2):
+        mask = r.random(nk) > 0.4
+        if not mask.any():
+            mask[int(r.integers(0, nk))] = True
+
+    ref_emb, ref_expr = retrieval.retrieve_and_aggregate(
+        key_emb, key_expr, query, top_k=top_k, weight_ord=ord_, key_mask=mask)
+    k_eff = min(top_k, nk if mask is None else int(mask.sum()))
+    _, ref_idx = retrieval.find_matches(
+        jnp.asarray(key_emb), jnp.asarray(query), k_eff,
+        key_mask=None if mask is None else jnp.asarray(mask))
+
+    vals, idx, emb, expr = sharded_retrieve_and_aggregate(
+        key_emb, key_expr, query, top_k=top_k, mesh=mesh, weight_ord=ord_,
+        key_mask=mask, query_chunk=query_chunk, return_matches=True)
+    ctx = (f"trial={trial} nk={nk} nq={nq} d={d} g={g} k={top_k} ord={ord_} "
+           f"qchunk={query_chunk} masked={mask is not None}")
+    np.testing.assert_array_equal(idx, np.asarray(ref_idx), err_msg=ctx)
+    np.testing.assert_allclose(emb, ref_emb, rtol=2e-5, atol=2e-5, err_msg=ctx)
+    np.testing.assert_allclose(expr, ref_expr, rtol=2e-5, atol=2e-5, err_msg=ctx)
+
+
 def test_sharded_multi_chunk_queries(rng, mesh):
     # query_chunk smaller than Nq: padded tail chunks slice off cleanly
     nk, nq, d, g, k = 96, 37, 8, 6, 5
