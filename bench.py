@@ -725,11 +725,49 @@ def bench_eval_path(
     retrieval_qps = N_EVAL / med_ret
     _log(f"retrieval: {N_EVAL} queries x {N_KEYS} keys (K={TOP_K}) median "
          f"{med_ret:.3f}s ({retrieval_qps:.0f} queries/s)")
+
+    # Device-resident variants: the rows above END in full host ndarrays, so
+    # on this tunnel (~37 MB/s get) they are partly TRANSPORT, not engine —
+    # e.g. the (3456, 785) prediction readback alone is ~0.3 s. Consumers
+    # that keep reducing on-device (`cli eval --device-metrics`, the serve
+    # DB build, fold chains) never pay it; these rows time the same work
+    # draining to a 4-byte checksum value readback instead.
+    img_dev_box = {}
+
+    def sweep_device_once():
+        img_d, spot_d = embed.compute_embeddings(
+            model, state.params, state.batch_stats, sections=[],
+            batch_size=32, prepared=prepared, as_device=True,
+        )
+        img_dev_box["img"] = img_d
+        float(jnp.sum(img_d) + jnp.sum(spot_d))  # 4-byte value readback
+
+    sweep_device_once()  # warm (towers already compiled; checksum compiles)
+    sweep_dev_dts = timed_windows(sweep_device_once, "eval_sweep_device")
+    eval_dev_sps = N_EVAL / statistics.median(sweep_dev_dts)
+    _log(f"eval sweep (device-resident): {eval_dev_sps:.0f} spots/s")
+
+    img_dev = img_dev_box["img"]
+
+    def retrieval_device_once():
+        pe, px = retrieve_and_aggregate(key_emb, key_expr, img_dev,
+                                        top_k=TOP_K, weight_ord=1,
+                                        as_device=True)
+        float(jnp.sum(pe) + jnp.sum(px))
+
+    retrieval_device_once()
+    ret_dev_dts = timed_windows(retrieval_device_once, "retrieval_device")
+    ret_dev_qps = N_EVAL / statistics.median(ret_dev_dts)
+    _log(f"retrieval (device-resident): {ret_dev_qps:.0f} queries/s")
     return {
         "eval_spots_per_sec": round(eval_spots_per_sec, 2),
         "eval_sweep_s": window_stats(sweep_dts),
         "retrieval_queries_per_sec": round(retrieval_qps, 2),
         "retrieval_s": window_stats(ret_dts),
+        "eval_device_spots_per_sec": round(eval_dev_sps, 2),
+        "eval_sweep_device_s": window_stats(sweep_dev_dts),
+        "retrieval_device_queries_per_sec": round(ret_dev_qps, 2),
+        "retrieval_device_s": window_stats(ret_dev_dts),
     }
 
 

@@ -393,6 +393,10 @@ def cmd_eval(args) -> int:
     from mclstexp_tpu.train.state import create_train_state
 
     if args.from_embeddings:
+        if getattr(args, "device_metrics", False):
+            print("--device-metrics applies to the checkpoint eval path; "
+                  "--from-embeddings scores host dumps with the fp64 "
+                  "bundle (flag ignored)", file=sys.stderr)
         # Score pre-computed embedding dumps (reference phase B,
         # evel_her2st.py:143-226) — no raw data, model, or checkpoint needed.
         # Ground truth comes from the preprocessed gene x spot matrices, the

@@ -91,6 +91,7 @@ def test_bench_full_smoke_schema():
     assert last["skipped"] == []
     for key in (
         "visium_train_ms_per_step", "eval_spots_per_sec",
+        "eval_device_spots_per_sec", "retrieval_device_queries_per_sec",
         "retrieval_queries_per_sec", "streaming_retrieval_queries_per_sec",
         "streaming_retrieval_bf16_queries_per_sec", "fold_eval_host_ms",
         "fold_eval_resident_ms", "fold_eval_device_ms", "slide_attn_xla_ms",
