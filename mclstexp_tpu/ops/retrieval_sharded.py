@@ -41,12 +41,18 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from mclstexp_tpu.ops.retrieval import aggregate_from_selected, l2_normalize
+from mclstexp_tpu.ops.retrieval import (
+    STREAMING_SCORE_ELEMENTS,
+    aggregate_from_selected,
+    l2_normalize,
+    streaming_topk,
+)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_sharded_chunk_fn(
-    mesh: Mesh, axis: str, top_k: int, s_per_dev: int, n_dev: int, weight_ord: int
+    mesh: Mesh, axis: str, top_k: int, s_per_dev: int, n_dev: int,
+    weight_ord: int, local_streaming: bool,
 ):
     """One jitted shard_map program per (mesh, K, shard size, weighting) —
     cached so the LOO fold loop and repeated serving calls reuse it."""
@@ -56,11 +62,17 @@ def _build_sharded_chunk_fn(
         # k_shard (S, D), expr_shard (S, G), valid_shard (S,) — this
         # device's slab; q (C, D) replicated.
         my = jax.lax.axis_index(axis)
-        kn = l2_normalize(k_shard.astype(jnp.float32))
-        qn = l2_normalize(q.astype(jnp.float32))
-        scores = qn @ kn.T  # (C, S) local MXU matmul
-        scores = jnp.where(valid_shard[None, :], scores, -jnp.inf)
-        lv, li = jax.lax.top_k(scores, kk)
+        if local_streaming:
+            # per-shard memory-bounded scan (retrieval.streaming_topk):
+            # shards past the dense score-matrix budget never materialize
+            # (C, S) — mesh x streaming compose for billion-row databases
+            lv, li = streaming_topk(k_shard, q, kk, key_mask=valid_shard)
+        else:
+            kn = l2_normalize(k_shard.astype(jnp.float32))
+            qn = l2_normalize(q.astype(jnp.float32))
+            scores = qn @ kn.T  # (C, S) local MXU matmul
+            scores = jnp.where(valid_shard[None, :], scores, -jnp.inf)
+            lv, li = jax.lax.top_k(scores, kk)
         gi = li + my * s_per_dev  # global key indices
         # merge: (n_dev, C, kk) -> (C, n_dev*kk) in shard order, so ties
         # resolve to the lowest GLOBAL index exactly like the dense path
@@ -106,6 +118,7 @@ def sharded_retrieve_and_aggregate(
     query_chunk: int = 512,
     key_mask_count: "int | None" = None,
     return_matches: bool = False,
+    local_streaming: "bool | None" = None,
 ):
     """``retrieve_and_aggregate`` with the key database sharded over
     ``mesh``'s ``axis`` — same results (selection bit-identical, aggregation
@@ -120,6 +133,12 @@ def sharded_retrieve_and_aggregate(
 
     key_mask_count: optional number of True entries in ``key_mask`` when the
     mask is a device array (avoids a host readback for the K clamp).
+
+    local_streaming: None (default) auto-switches each shard's local top-K
+    to the memory-bounded ``streaming_topk`` scan when query_chunk x
+    shard_size exceeds STREAMING_SCORE_ELEMENTS — mesh partitioning and
+    streaming compose, so the per-device score materialization stays
+    bounded at ANY database size; True/False forces the choice.
     """
     nk, d = key_emb.shape
     g = key_expr.shape[1]
@@ -157,7 +176,10 @@ def sharded_retrieve_and_aggregate(
     e_dev = _place(key_expr, jnp.float32)
     v_dev = _place(valid, bool)
 
-    fn = _build_sharded_chunk_fn(mesh, axis, top_k, s_per_dev, n_dev, weight_ord)
+    if local_streaming is None:
+        local_streaming = query_chunk * s_per_dev > STREAMING_SCORE_ELEMENTS
+    fn = _build_sharded_chunk_fn(
+        mesh, axis, top_k, s_per_dev, n_dev, weight_ord, bool(local_streaming))
 
     query_j = jnp.asarray(query_emb, dtype=jnp.float32)
     vals_out, idx_out, emb_out, expr_out = [], [], [], []

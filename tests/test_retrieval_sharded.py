@@ -124,6 +124,7 @@ def test_fuzz_sharded_matches_dense(mesh, trial):
     top_k = int(r.integers(1, nk + 8))  # may exceed the active count
     ord_ = int(r.choice([-1, 0, 1, 2]))
     query_chunk = int(r.choice([8, 32]))
+    local_streaming = bool(r.integers(0, 2))  # per-shard scan vs dense
 
     key_emb = r.normal(size=(nk, d)).astype(np.float32)
     key_expr = r.normal(size=(nk, g)).astype(np.float32)
@@ -143,12 +144,36 @@ def test_fuzz_sharded_matches_dense(mesh, trial):
 
     vals, idx, emb, expr = sharded_retrieve_and_aggregate(
         key_emb, key_expr, query, top_k=top_k, mesh=mesh, weight_ord=ord_,
-        key_mask=mask, query_chunk=query_chunk, return_matches=True)
+        key_mask=mask, query_chunk=query_chunk, return_matches=True,
+        local_streaming=local_streaming)
     ctx = (f"trial={trial} nk={nk} nq={nq} d={d} g={g} k={top_k} ord={ord_} "
-           f"qchunk={query_chunk} masked={mask is not None}")
+           f"qchunk={query_chunk} masked={mask is not None} "
+           f"local_streaming={local_streaming}")
     np.testing.assert_array_equal(idx, np.asarray(ref_idx), err_msg=ctx)
     np.testing.assert_allclose(emb, ref_emb, rtol=2e-5, atol=2e-5, err_msg=ctx)
     np.testing.assert_allclose(expr, ref_expr, rtol=2e-5, atol=2e-5, err_msg=ctx)
+
+
+def test_sharded_local_streaming_matches_dense(rng, mesh):
+    # Forced per-shard streaming scan (the composition for shards past the
+    # dense score budget): identical selection + aggregation, incl. a mask.
+    nk, nq, d, g, k = 200, 13, 16, 8, 11
+    key_emb = rng.normal(size=(nk, d)).astype(np.float32)
+    key_expr = rng.normal(size=(nk, g)).astype(np.float32)
+    query = rng.normal(size=(nq, d)).astype(np.float32)
+    mask = np.ones(nk, bool)
+    mask[25:90] = False
+    ref_emb, ref_expr = retrieval.retrieve_and_aggregate(
+        key_emb, key_expr, query, top_k=k, weight_ord=2, key_mask=mask)
+    _, ref_idx = retrieval.find_matches(
+        jnp.asarray(key_emb), jnp.asarray(query), k,
+        key_mask=jnp.asarray(mask))
+    _, idx, emb, expr = sharded_retrieve_and_aggregate(
+        key_emb, key_expr, query, top_k=k, mesh=mesh, weight_ord=2,
+        key_mask=mask, return_matches=True, local_streaming=True)
+    np.testing.assert_array_equal(idx, np.asarray(ref_idx))
+    np.testing.assert_allclose(emb, ref_emb, rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(expr, ref_expr, rtol=2e-5, atol=1e-6)
 
 
 def test_sharded_multi_chunk_queries(rng, mesh):
