@@ -43,7 +43,11 @@ defenses, both per the r4 verdict's prescription:
     finish, re-printed augmented after the visium windows, and printed a
     final time with every secondary metric at the end. The driver parses
     the LAST JSON line on stdout, so each print supersedes the previous
-    one and an external kill can no longer erase the headline.
+    one and an external kill can no longer erase the headline. A stage
+    line is emitted before first device contact (a wedged tunnel — an
+    8 MB device_put observed never completing — otherwise leaves nothing),
+    and the tunnel/device probes run under SIGALRM watchdogs so a slow
+    probe can't keep the run from the train windows.
   * WALL-CLOCK BUDGET (MCLSTEXP_BENCH_BUDGET_S, default 1200 s) — checked
     between metrics: a secondary metric whose cost estimate exceeds the
     remaining budget is recorded in the JSON's "skipped" list instead of
@@ -385,10 +389,48 @@ def main():
     except Exception as e:  # cache is best-effort
         print(f"compilation cache unavailable: {e}", file=sys.stderr)
 
+    # Guarantee a parseable LAST line even if the device/tunnel wedges
+    # before the first measurement (observed: a session where the first
+    # 8 MB device_put never completed — >17 min, no output; under the
+    # driver that reproduces r4's parsed:null). Every later emit()
+    # supersedes this; if none ever lands, the record says precisely how
+    # far the run got instead of saying nothing.
+    emit({
+        "metric": "train_spots_per_sec", "value": None, "vs_baseline": None,
+        "partial": True, "stage": "started-before-device-contact",
+    })
+
+    def with_alarm(seconds, label, fn, fallback):
+        """Run fn() under SIGALRM; on timeout log + return fallback. The
+        probes are diagnostics — a wedged tunnel must not keep the run from
+        reaching (and attesting) the train windows."""
+        import signal
+
+        if smoke or not hasattr(signal, "SIGALRM"):
+            return fn()
+
+        def _raise(signum, frame):
+            raise TimeoutError(f"{label} exceeded {seconds}s")
+
+        prev = signal.signal(signal.SIGALRM, _raise)
+        signal.alarm(seconds)
+        try:
+            return fn()
+        except TimeoutError as e:
+            _log(f"{label} TIMED OUT ({e}); continuing without it")
+            return fallback
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, prev)
+
     dev = jax.devices()[0]
     _log(f"device: {dev}")
-    tunnel = probe_tunnel(jax)
-    tunnel.update(probe_device(jax, smoke=smoke))
+    tunnel = with_alarm(
+        600, "tunnel probe", lambda: probe_tunnel(jax),
+        {"tunnel_put_mb_per_s": None, "tunnel_get_mb_per_s": None})
+    tunnel.update(with_alarm(
+        300, "device probe", lambda: probe_device(jax, smoke=smoke),
+        {"device_kind": None, "hbm_gbps_probe": None}))
 
     # The vs_baseline denominator is host-only PIL work (~seconds) — measure
     # it BEFORE the train windows so the first emitted headline already

@@ -65,8 +65,13 @@ def test_bench_starved_budget_emits_headline_and_skips():
     """MCLSTEXP_BENCH_BUDGET_S=1: the headline must be attested and every
     secondary metric budget-skipped, not crashed (driver-timeout proof)."""
     lines = _run_bench({"MCLSTEXP_BENCH_BUDGET_S": "1"}, timeout=120)
-    assert len(lines) >= 2
-    first, last = lines[0], lines[-1]
+    assert len(lines) >= 3
+    # line 0: the pre-device-contact stage line (guarantees a parseable
+    # record even if the tunnel wedges before the first measurement)
+    assert lines[0]["partial"] is True and lines[0]["value"] is None
+    assert lines[0]["stage"] == "started-before-device-contact"
+    first = next(l for l in lines if l.get("value") is not None)
+    last = lines[-1]
     assert HEADLINE_KEYS <= set(first), sorted(HEADLINE_KEYS - set(first))
     assert first["partial"] is True
     assert first["train_ms_per_step"]["n_windows"] >= 3
@@ -86,7 +91,7 @@ def test_bench_full_smoke_schema():
     the final line carries the full schema the round-over-round tracking
     reads (BENCH_r*.json)."""
     lines = _run_bench({}, timeout=300)
-    assert len(lines) >= 3
+    assert len(lines) >= 4  # stage line + >=2 partials + final
     last = lines[-1]
     assert last["skipped"] == []
     for key in (
