@@ -46,8 +46,8 @@ defenses, both per the r4 verdict's prescription:
     one and an external kill can no longer erase the headline. A stage
     line is emitted before first device contact (a wedged tunnel — an
     8 MB device_put observed never completing — otherwise leaves nothing),
-    and the tunnel/device probes run under SIGALRM watchdogs so a slow
-    probe can't keep the run from the train windows.
+    and the tunnel/device probes run under timed-join watchdog threads so
+    a slow or wedged probe can't keep the run from the train windows.
   * WALL-CLOCK BUDGET (MCLSTEXP_BENCH_BUDGET_S, default 1200 s) — checked
     between metrics: a secondary metric whose cost estimate exceeds the
     remaining budget is recorded in the JSON's "skipped" list instead of
@@ -401,27 +401,39 @@ def main():
     })
 
     def with_alarm(seconds, label, fn, fallback):
-        """Run fn() under SIGALRM; on timeout log + return fallback. The
-        probes are diagnostics — a wedged tunnel must not keep the run from
-        reaching (and attesting) the train windows."""
-        import signal
-
-        if smoke or not hasattr(signal, "SIGALRM"):
+        """Run fn() in a daemon thread with a timed join; on timeout log +
+        return fallback. The probes are diagnostics — a wedged tunnel must
+        not keep the run from reaching (and attesting) the train windows.
+        A thread (not SIGALRM) because CPython only delivers signal
+        handlers at main-thread bytecode boundaries: a probe wedged INSIDE
+        one blocking native transfer call never re-enters Python, so an
+        alarm would fire only after the call returned — i.e. never, in the
+        observed device_put-never-completes failure. The abandoned thread
+        may finish later; by then the record already says the probe was
+        degraded, and the multi-window medians absorb one noisy window."""
+        if smoke:
             return fn()
+        import threading
 
-        def _raise(signum, frame):
-            raise TimeoutError(f"{label} exceeded {seconds}s")
+        box = {}
 
-        prev = signal.signal(signal.SIGALRM, _raise)
-        signal.alarm(seconds)
-        try:
-            return fn()
-        except TimeoutError as e:
-            _log(f"{label} TIMED OUT ({e}); continuing without it")
+        def run():
+            try:
+                box["out"] = fn()
+            except Exception as e:  # a failed probe must not kill the run
+                box["err"] = e
+
+        t = threading.Thread(target=run, daemon=True, name=f"probe:{label}")
+        t.start()
+        t.join(seconds)
+        if t.is_alive():
+            _log(f"{label} TIMED OUT (> {seconds}s, abandoned); "
+                 "continuing without it")
             return fallback
-        finally:
-            signal.alarm(0)
-            signal.signal(signal.SIGALRM, prev)
+        if "err" in box:
+            _log(f"{label} FAILED ({box['err']!r}); continuing without it")
+            return fallback
+        return box["out"]
 
     dev = jax.devices()[0]
     _log(f"device: {dev}")

@@ -1013,7 +1013,36 @@ def main(argv: Optional[List[str]] = None) -> int:
         getattr(args, "num_processes", None),
         getattr(args, "process_id", None),
     )
+    _enable_compilation_cache()
     return args.fn(args)
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache for every CLI invocation (same
+    knob bench.py uses). Matters doubly on remote-TPU tunnels, where
+    compiles run 60-500 s and the LOO fold loop compiles one
+    find_matches/metrics program per distinct section size — cached, a
+    repeat `cli eval` skips all of them. MCLSTEXP_JAX_CACHE overrides the
+    location; set it empty to disable. A cache dir configured earlier in
+    the process wins — the test suite's conftest keys its cache by CPU
+    flags + jax build (cross-build AOT reuse computes wrong numbers; see
+    tests/conftest.py) and in-process `main()` calls must not clobber it."""
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:
+        return
+    cache_dir = os.environ.get(
+        "MCLSTEXP_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "mclstexp_jax"),
+    )
+    if not cache_dir:
+        return
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception as e:  # cache is best-effort
+        print(f"compilation cache unavailable: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -117,6 +117,12 @@ def expression_metrics_device(
     scipy-golden parity default. ``heg_idx`` must come from
     ``heg_indices`` on the HOST ground truth so the reference's argsort
     tie-breaking (``evel_her2st.py:201-205``) is preserved exactly.
+
+    Compiles once per distinct (N, G, heg_len) shape — on ragged real
+    datasets the LOO loop therefore adds one small per-section-size
+    compile, exactly like the resident path's per-fold ``find_matches``
+    program; the persistent compilation cache (enabled by the CLI and
+    bench) amortizes both across invocations.
     """
     vals = np.asarray(
         _metrics_device(pred, true, jnp.asarray(np.ascontiguousarray(heg_idx)))

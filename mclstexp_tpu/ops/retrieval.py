@@ -212,8 +212,9 @@ def retrieve_and_aggregate(
     key_mask=None,
     streaming_bf16: bool = False,
     as_device: bool = False,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Full retrieval inference: (pred_embeddings, pred_expression).
+) -> "Tuple[np.ndarray, np.ndarray] | Tuple[jax.Array, jax.Array]":
+    """Full retrieval inference: (pred_embeddings, pred_expression) —
+    host ndarrays by default, device arrays under ``as_device=True``.
 
     key_emb (Nk, D), key_expr (Nk, G), query_emb (Nq, D) -> (Nq, D), (Nq, G).
     Replaces the reference's find_matches + per-spot Python aggregation loop

@@ -165,16 +165,27 @@ def sharded_retrieve_and_aggregate(
         np.ones(nk, bool) if key_mask is None else np.asarray(key_mask, bool)
     )
 
-    def _place(a, dtype):
-        a = jnp.asarray(a, dtype=dtype)
+    def _place(a, np_dtype):
+        # Host arrays pad on the HOST and device_put straight to the
+        # sharded layout (per-shard transfers — device 0 never holds the
+        # full database, the regime this module exists for). Device arrays
+        # re-lay-out in place when already a device multiple; the rare
+        # non-divisible device-resident case pays one on-device concat.
+        if isinstance(a, jax.Array):
+            a = a.astype(np_dtype) if a.dtype != np_dtype else a
+            if pad:
+                a = jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+            return jax.device_put(a, shard)
+        a = np.asarray(a, dtype=np_dtype)
         if pad:
-            a = jnp.concatenate(
-                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+            a = np.concatenate(
+                [a, np.zeros((pad,) + a.shape[1:], a.dtype)])
         return jax.device_put(a, shard)
 
-    k_dev = _place(key_emb, jnp.float32)
-    e_dev = _place(key_expr, jnp.float32)
-    v_dev = _place(valid, bool)
+    k_dev = _place(key_emb, np.float32)
+    e_dev = _place(key_expr, np.float32)
+    v_dev = _place(valid, np.bool_)
 
     if local_streaming is None:
         local_streaming = query_chunk * s_per_dev > STREAMING_SCORE_ELEMENTS
