@@ -176,6 +176,32 @@ def test_sharded_local_streaming_matches_dense(rng, mesh):
     np.testing.assert_allclose(expr, ref_expr, rtol=2e-5, atol=1e-6)
 
 
+def test_sharded_device_resident_inputs(rng, mesh):
+    # The resident-database pattern: keys pre-placed on the mesh as device
+    # arrays (divisible case re-lays-out in place; the non-divisible case
+    # pays one on-device pad) — results identical to host inputs.
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    for nk in (96, 101):  # device multiple and not
+        key_emb = rng.normal(size=(nk, 8)).astype(np.float32)
+        key_expr = rng.normal(size=(nk, 6)).astype(np.float32)
+        query = rng.normal(size=(9, 8)).astype(np.float32)
+        ref_emb, ref_expr = sharded_retrieve_and_aggregate(
+            key_emb, key_expr, query, top_k=5, mesh=mesh, weight_ord=1)
+        if nk % 8 == 0:
+            sharding = NamedSharding(mesh, P("data"))
+            k_dev = jax.device_put(key_emb, sharding)
+            e_dev = jax.device_put(key_expr, sharding)
+        else:  # replicated device arrays exercise the on-device pad branch
+            k_dev = jax.device_put(key_emb, NamedSharding(mesh, P()))
+            e_dev = jax.device_put(key_expr, NamedSharding(mesh, P()))
+        emb, expr = sharded_retrieve_and_aggregate(
+            k_dev, e_dev, query, top_k=5, mesh=mesh, weight_ord=1)
+        np.testing.assert_allclose(emb, ref_emb, rtol=1e-6)
+        np.testing.assert_allclose(expr, ref_expr, rtol=1e-6)
+
+
 def test_sharded_multi_chunk_queries(rng, mesh):
     # query_chunk smaller than Nq: padded tail chunks slice off cleanly
     nk, nq, d, g, k = 96, 37, 8, 6, 5
